@@ -1,0 +1,87 @@
+"""Headline benchmark: matrix-free P1 Laplace operator apply throughput.
+
+Mirrors the reference's ApplyBenchmark
+(reference: apps/benchmarks/ApplyBenchmark/ApplyBenchmark.cpp:104 —
+GDoF/s = global inner DoF updates per second of repeated operator apply).
+
+Prints ONE JSON line. ``vs_baseline`` is the measured fraction of the
+single-chip HBM-bandwidth roofline for this kernel (the reference targets
+>= 70% of its roofline; see BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from hyteg_tpu.mesh import meshinfo as mi
+    from hyteg_tpu.operators import forms
+    from hyteg_tpu.operators.p1_elementwise import P1ElementwiseOperator
+    from hyteg_tpu.primitives.storage import CellStorage
+    from hyteg_tpu.functions.p1 import P1Space
+
+    level = 5
+    storage = CellStorage(mi.mesh_unit_cube(2), num_shards=1)  # 48 macro-cells
+    space = P1Space(storage, level)
+    op = P1ElementwiseOperator(space, forms.laplace_form)
+    sd = space.resolve_sd(None)
+
+    apply_fn = jax.jit(lambda x: op.apply_raw(x, sd=sd))
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, space.block_shape, dtype=space.dtype)
+    x = x * jnp.asarray(space.vertex_mask[None], dtype=space.dtype)
+
+    # warmup / compile
+    y = apply_fn(x)
+    jax.block_until_ready(y)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = apply_fn(x)
+    jax.block_until_ready(x)
+    dt = time.perf_counter() - t0
+
+    gdofs = space.num_global_dofs() / 1e9
+    gdofs_per_s = gdofs * iters / dt
+
+    # single-chip bandwidth roofline for this kernel: src read + dst write of
+    # the dense (C, N^3) blocks, f32 (elmats/maps traffic negligible)
+    hbm_gb_s = _hbm_bandwidth_gb_s()
+    bytes_per_apply = 2 * 4 * space.block_size
+    roofline_gdofs_s = hbm_gb_s * 1e9 / bytes_per_apply * gdofs
+    vs = gdofs_per_s / roofline_gdofs_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "p1_laplace_apply_gdofs_per_s",
+                "value": round(gdofs_per_s, 4),
+                "unit": "GDoF/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+def _hbm_bandwidth_gb_s() -> float:
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v4" in kind:
+        return 1228.0
+    if "v6" in kind:
+        return 1638.0
+    return 819.0  # conservative default
+
+
+if __name__ == "__main__":
+    main()

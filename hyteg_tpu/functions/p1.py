@@ -1,0 +1,403 @@
+"""P1 (vertex-DoF) function space on sharded macro-cell blocks.
+
+TPU-native redesign of the reference's VertexDoFFunction
+(reference: src/hyteg/p1functionspace/VertexDoFFunction.hpp:58-486).
+DoF values live in dense masked blocks ``(C, N, N, N)`` ((C, N, N) in 2D),
+one block per macro-cell, interface DoFs replicated across adjacent cells
+(invariant: replicas equal). The halo-exchange of the reference
+(communicate / communicateAdditively) becomes two index-map exchanges:
+
+  * ``exchange_add``  — replicas <- sum of replicas (additive communication,
+    reference: VertexDoFAdditivePackInfo.hpp)
+  * ``exchange_rep``  — replicas <- owner value (sync / consistency)
+
+Both are segment-sum/gather over precomputed slot maps + an optional
+``psum`` over the device mesh axis. All ops take a ``P1ShardData`` pytree of
+the device-local maps so the same code runs (a) single-device with static
+constants and (b) inside shard_map with the maps sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import BoundaryCondition, DoFType, FLAG_INNER
+from ..indexing import micro
+from ..primitives.storage import CellStorage, P1LevelMaps
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class P1ShardData:
+    """Device-local slot maps and cell data (all jnp arrays; pytree)."""
+
+    slot_flat: jnp.ndarray      # (S,) int32; OOB value for padded slots
+    slot_gid: jnp.ndarray       # (S,) int32; == num_ifc for padded slots
+    slot_rep: jnp.ndarray       # (S,) bool — global representative slot
+    slot_inv_mult: jnp.ndarray  # (S,) float — 1/replica count (0 padded)
+    slot_doftype: jnp.ndarray   # (S,) int32 — DoFType under the function's BC
+    cell_valid: jnp.ndarray     # (C_loc,) bool
+    cell_vertices: jnp.ndarray  # (C_loc, nv, 3) float
+
+    def tree_flatten(self):
+        return (
+            self.slot_flat, self.slot_gid, self.slot_rep, self.slot_inv_mult,
+            self.slot_doftype, self.cell_valid, self.cell_vertices,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class P1Function:
+    """User-facing handle: per-cell DoF blocks + static space/BC."""
+
+    cells: jnp.ndarray  # (C_loc, N, N, N) or (C_loc, N, N)
+    space: "P1Space" = dataclasses.field(metadata=dict(static=True))
+    bc: BoundaryCondition = dataclasses.field(metadata=dict(static=True))
+
+    def tree_flatten(self):
+        return (self.cells,), (self.space, self.bc)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    # -- vector-space ops (reference: VertexDoFFunction assign/add/dot) ------
+
+    def copy(self) -> "P1Function":
+        return P1Function(self.cells, self.space, self.bc)
+
+    def _like(self, cells) -> "P1Function":
+        return P1Function(cells, self.space, self.bc)
+
+    def _sd(self):
+        return self.space.shard_data(0, self.bc)
+
+    def assign(self, scalars, functions, flag: DoFType = DoFType.ALL) -> "P1Function":
+        new = sum(s * f.cells for s, f in zip(scalars, functions))
+        if flag == DoFType.ALL:
+            return self._like(new)
+        return self._like(
+            self.space.restore_rows(new, self.cells, flag, self._sd())
+        )
+
+    def add_scaled(self, scalars, functions, flag: DoFType = DoFType.ALL) -> "P1Function":
+        new = self.cells + sum(s * f.cells for s, f in zip(scalars, functions))
+        if flag == DoFType.ALL:
+            return self._like(new)
+        return self._like(
+            self.space.restore_rows(new, self.cells, flag, self._sd())
+        )
+
+    def interpolate(self, expr, flag: DoFType = DoFType.ALL) -> "P1Function":
+        return self._like(
+            self.space.interpolate(expr, self.cells, flag, self._sd())
+        )
+
+    def dot_global(self, other: "P1Function", flag: DoFType = DoFType.ALL):
+        return self.space.dot(self.cells, other.cells, flag, self._sd())
+
+    def sum_global(self, flag: DoFType = DoFType.ALL):
+        return self.space.dof_sum(self.cells, flag, self._sd())
+
+    def max_global(self, flag: DoFType = DoFType.ALL):
+        return self.space.dof_max(self.cells, flag, self._sd())
+
+    def norm(self, flag: DoFType = DoFType.ALL):
+        return jnp.sqrt(self.dot_global(self, flag))
+
+
+class P1Space:
+    """Binds (storage, level): static masks, maps, and core kernels.
+
+    All numeric methods are pure jax functions of (arrays, shard-data);
+    static per-level info (masks, sizes) is captured as constants.
+    """
+
+    def __init__(self, storage: CellStorage, level: int, dtype=jnp.float32):
+        self.storage = storage
+        self.level = level
+        self.dtype = dtype
+        self.dim = storage.dim
+        self.maps: P1LevelMaps = storage.p1_level_maps(level)
+        self.N = self.maps.N
+        self.n = self.N - 1
+        self.C_loc = storage.cells_per_shard
+        self._sd_cache: dict[Any, P1ShardData] = {}
+
+    # -- static helpers ------------------------------------------------------
+
+    @property
+    def block_shape(self):
+        return (self.C_loc,) + (self.N,) * self.dim
+
+    @property
+    def block_size(self):
+        return self.C_loc * self.N**self.dim
+
+    @functools.cached_property
+    def vertex_mask(self) -> np.ndarray:
+        return micro.vertex_mask(self.level, self.dim)
+
+    @functools.cached_property
+    def interior_mask(self) -> np.ndarray:
+        return micro.interior_mask(self.level, self.dim)
+
+    def cell_valid(self, shard: int = 0) -> np.ndarray:
+        lo = shard * self.C_loc
+        return self.storage.cell_valid[lo : lo + self.C_loc]
+
+    def cell_vertices(self, shard: int = 0) -> np.ndarray:
+        lo = shard * self.C_loc
+        return self.storage.cell_vertices[lo : lo + self.C_loc]
+
+    def num_global_dofs(self) -> int:
+        return self.maps.num_global_dofs
+
+    # -- shard data ----------------------------------------------------------
+
+    @functools.cached_property
+    def slot_rep_mask(self) -> np.ndarray:
+        """(D, S) bool — slot is the global representative of its DoF."""
+        m = self.maps
+        out = np.zeros(m.slot_flat.shape, dtype=bool)
+        out[m.ifc_rep_dev, m.ifc_rep_slot] = True
+        return out
+
+    @functools.cached_property
+    def slot_inv_mult(self) -> np.ndarray:
+        """(D, S) float — 1 / replica count (0 on padded slots)."""
+        m = self.maps
+        inv = np.zeros(m.slot_flat.shape, dtype=np.float64)
+        valid = m.slot_gid < m.num_ifc
+        inv[valid] = 1.0 / m.ifc_mult[m.slot_gid[valid]]
+        return inv
+
+    def slot_doftype_np(self, bc: BoundaryCondition) -> np.ndarray:
+        """(D, S) int32 DoFType per interface slot under the given BC."""
+        flags = self.maps.slot_meshflag
+        out = np.zeros(flags.shape, dtype=np.int32)
+        for f in np.unique(flags):
+            out[flags == f] = int(bc.doftype_of(int(f)))
+        return out
+
+    def resolve_sd(self, sd_or_bc=None, shard: int = 0) -> P1ShardData:
+        """Accept a P1ShardData (traced path), a BoundaryCondition (static
+        path), or None (default all-Dirichlet BC)."""
+        if isinstance(sd_or_bc, P1ShardData):
+            return sd_or_bc
+        bc = sd_or_bc or BoundaryCondition.all_dirichlet()
+        return self.shard_data(shard, bc)
+
+    def shard_data(self, shard: int, bc: BoundaryCondition) -> P1ShardData:
+        key = (shard, bc)
+        if key not in self._sd_cache:
+            m = self.maps
+            self._sd_cache[key] = P1ShardData(
+                slot_flat=jnp.asarray(m.slot_flat[shard]),
+                slot_gid=jnp.asarray(m.slot_gid[shard]),
+                slot_rep=jnp.asarray(self.slot_rep_mask[shard]),
+                slot_inv_mult=jnp.asarray(
+                    self.slot_inv_mult[shard], dtype=self.dtype
+                ),
+                slot_doftype=jnp.asarray(self.slot_doftype_np(bc)[shard]),
+                cell_valid=jnp.asarray(self.cell_valid(shard)),
+                cell_vertices=jnp.asarray(self.cell_vertices(shard)),
+            )
+        return self._sd_cache[key]
+
+    def stacked_shard_data(self, bc: BoundaryCondition):
+        """All-shard (D, ...) numpy pytree for feeding shard_map."""
+        m = self.maps
+        return P1ShardData(
+            slot_flat=np.asarray(m.slot_flat),
+            slot_gid=np.asarray(m.slot_gid),
+            slot_rep=np.asarray(self.slot_rep_mask),
+            slot_inv_mult=np.asarray(self.slot_inv_mult, dtype=np.float32),
+            slot_doftype=np.asarray(self.slot_doftype_np(bc)),
+            cell_valid=self.storage.cell_valid.reshape(
+                self.storage.num_shards, self.C_loc
+            ),
+            cell_vertices=self.storage.cell_vertices.reshape(
+                self.storage.num_shards, self.C_loc, self.dim + 1, 3
+            ).astype(np.float32),
+        )
+
+    # -- exchanges (the halo-communication analog) ---------------------------
+
+    def exchange_add(self, u, sd=None, axis_name=None) -> jnp.ndarray:
+        """Replicas <- sum over replicas (additive halo exchange)."""
+        sd = self.resolve_sd(sd)
+        flat = u.reshape(-1)
+        vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
+        g = jax.ops.segment_sum(
+            vals, sd.slot_gid, num_segments=self.maps.num_ifc + 1
+        )
+        if axis_name is not None:
+            g = jax.lax.psum(g, axis_name)
+        flat = flat.at[sd.slot_flat].set(g[sd.slot_gid], mode="drop")
+        return flat.reshape(u.shape)
+
+    def exchange_rep(self, u, sd=None, axis_name=None) -> jnp.ndarray:
+        """Replicas <- representative's value (consistency sync)."""
+        sd = self.resolve_sd(sd)
+        flat = u.reshape(-1)
+        vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
+        g = jax.ops.segment_sum(
+            jnp.where(sd.slot_rep, vals, 0),
+            sd.slot_gid,
+            num_segments=self.maps.num_ifc + 1,
+        )
+        if axis_name is not None:
+            g = jax.lax.psum(g, axis_name)
+        flat = flat.at[sd.slot_flat].set(g[sd.slot_gid], mode="drop")
+        return flat.reshape(u.shape)
+
+    # -- reductions ----------------------------------------------------------
+
+    def _interior_weight(self, sd: P1ShardData) -> jnp.ndarray:
+        w = jnp.asarray(self.interior_mask, dtype=self.dtype)
+        cv = sd.cell_valid.astype(self.dtype)
+        return cv.reshape((-1,) + (1,) * self.dim) * w[None]
+
+    def _slot_in_flag(self, sd: P1ShardData, flag: DoFType) -> jnp.ndarray:
+        return (sd.slot_doftype & int(flag)) != 0
+
+    def dot(self, u, v, flag: DoFType = DoFType.ALL, sd: P1ShardData | None = None,
+            axis_name=None):
+        """Global dot product counting every DoF once
+        (reference: VertexDoFFunction::dotGlobal)."""
+        sd = self.resolve_sd(sd)
+        acc = jnp.asarray(0.0, dtype=self.dtype)
+        if flag & DoFType.INNER:
+            acc = acc + jnp.sum(u * v * self._interior_weight(sd))
+        sel = sd.slot_rep & self._slot_in_flag(sd, flag)
+        uf, vf = u.reshape(-1), v.reshape(-1)
+        idx = jnp.minimum(sd.slot_flat, uf.shape[0] - 1)
+        acc = acc + jnp.sum(jnp.where(sel, uf[idx] * vf[idx], 0))
+        if axis_name is not None:
+            acc = jax.lax.psum(acc, axis_name)
+        return acc
+
+    def dof_sum(self, u, flag: DoFType = DoFType.ALL, sd=None, axis_name=None):
+        return self.dot(u, jnp.ones_like(u), flag, sd, axis_name)
+
+    def dof_max(self, u, flag: DoFType = DoFType.ALL, sd=None, axis_name=None):
+        sd = self.resolve_sd(sd)
+        neg = jnp.asarray(-jnp.inf, dtype=u.dtype)
+        acc = neg
+        if flag & DoFType.INNER:
+            w = self._interior_weight(sd) > 0
+            acc = jnp.max(jnp.where(w, u, neg))
+        sel = sd.slot_rep & self._slot_in_flag(sd, flag)
+        uf = u.reshape(-1)
+        idx = jnp.minimum(sd.slot_flat, uf.shape[0] - 1)
+        acc = jnp.maximum(acc, jnp.max(jnp.where(sel, uf[idx], neg)))
+        if axis_name is not None:
+            acc = jax.lax.pmax(acc, axis_name)
+        return acc
+
+    # -- row-restricted updates ---------------------------------------------
+
+    def restore_rows(self, new, old, flag: DoFType, sd=None) -> jnp.ndarray:
+        """Keep ``new`` on rows whose DoFType is in ``flag``; restore ``old``
+        elsewhere. Interior rows are INNER; interface rows use slot maps."""
+        sd = self.resolve_sd(sd)
+        if flag == DoFType.ALL:
+            return new
+        sel = self._slot_in_flag(sd, flag)
+        newf, oldf = new.reshape(-1), old.reshape(-1)
+        idx = jnp.minimum(sd.slot_flat, newf.shape[0] - 1)
+        vals = jnp.where(sel, newf[idx], oldf[idx])
+        out = new if (flag & DoFType.INNER) else old
+        outf = out.reshape(-1).at[sd.slot_flat].set(vals, mode="drop")
+        return outf.reshape(new.shape)
+
+    # -- interpolation -------------------------------------------------------
+
+    @functools.cached_property
+    def _ref_coords(self) -> np.ndarray:
+        """(N..., dim) reference coordinates (barycentric index / n)."""
+        axes = [np.arange(self.N)] * self.dim
+        grids = np.meshgrid(*axes, indexing="ij")
+        return np.stack(grids, axis=-1) / self.n
+
+    def coords_from(self, cell_vertices) -> jnp.ndarray:
+        """(C, N..., 3) physical coordinates of every micro-vertex."""
+        verts = cell_vertices
+        v0 = verts[:, 0]
+        J = verts[:, 1:] - verts[:, :1]  # (C, dim, 3)
+        ref = jnp.asarray(self._ref_coords, dtype=self.dtype)
+        return v0.reshape((-1,) + (1,) * self.dim + (3,)) + jnp.einsum(
+            "...d,cde->c...e", ref, J
+        )
+
+    def coords(self, shard: int = 0) -> jnp.ndarray:
+        return self.coords_from(jnp.asarray(self.cell_vertices(shard)))
+
+    def interpolate(self, expr, old, flag: DoFType, sd=None,
+                    axis_name=None) -> jnp.ndarray:
+        """Evaluate ``expr`` (constant or callable of coords (..., 3)) on rows
+        in ``flag``; replicas are forced consistent via the representative."""
+        sd = self.resolve_sd(sd)
+        if callable(expr):
+            vals = expr(self.coords_from(sd.cell_vertices))
+            vals = jnp.asarray(vals, dtype=self.dtype)
+            # replicas may differ in the last ulp (each cell evaluates at its
+            # own affine image of the point) -> force owner's value
+            vals = self.exchange_rep(vals, sd, axis_name)
+        else:
+            vals = jnp.full(self.block_shape, expr, dtype=self.dtype)
+        vals = vals * jnp.asarray(self.vertex_mask[None], dtype=self.dtype)
+        if flag == DoFType.ALL:
+            return vals
+        return self.restore_rows(vals, old, flag, sd)
+
+    def zeros(self) -> jnp.ndarray:
+        return jnp.zeros(self.block_shape, dtype=self.dtype)
+
+    def function(self, bc: BoundaryCondition | None = None) -> P1Function:
+        return P1Function(self.zeros(), self, bc or BoundaryCondition.all_dirichlet())
+
+    # -- global enumeration (reference: VertexDoFFunction::enumerate) --------
+
+    @functools.cached_property
+    def _interior_pack(self) -> np.ndarray:
+        """(N...,) int64: lexicographic index among cell-interior positions,
+        -1 elsewhere."""
+        imask = self.interior_mask
+        pack = np.full(imask.shape, -1, dtype=np.int64)
+        pack[imask] = np.arange(int(imask.sum()))
+        return pack
+
+    def global_ids(self, shard: int = 0) -> np.ndarray:
+        """(C, N...) int64 global DoF id per position; -1 outside the
+        macro-simplex and on padding cells. Host-side (numpy); used for
+        sparse assembly (toMatrix analog) and equivalence tests."""
+        m = self.maps
+        out = np.full(self.block_shape, -1, dtype=np.int64)
+        flat = out.reshape(-1)
+        sf, sg = m.slot_flat[shard], m.slot_gid[shard]
+        ok = (sf < flat.shape[0]) & (sg < m.num_ifc)
+        flat[sf[ok]] = sg[ok]
+        lo = shard * self.C_loc
+        interior = m.num_interior_per_cell
+        pack = self._interior_pack
+        for c in range(self.C_loc):
+            if not self.storage.cell_valid[lo + c]:
+                out[c] = -1
+                continue
+            gci = self.storage.cell_global_index[lo + c]
+            sel = pack >= 0
+            out[c][sel] = m.num_ifc + gci * interior + pack[sel]
+        return out

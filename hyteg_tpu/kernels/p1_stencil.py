@@ -1,0 +1,143 @@
+"""Pallas TPU kernel for the P1 elementwise operator apply.
+
+Replaces the reference's generated stencil kernels
+(reference: src/constant_stencil_operator/P1generatedKernels/
+apply_3D_macrocell_vertexdof_to_vertexdof_replace.cpp:14-60) with a single
+VMEM-resident kernel per macro-cell block:
+
+  * one grid step per macro-cell; src block (N, N, N) is DMA'd to VMEM once
+    and dst written once -> the kernel is HBM-bandwidth bound at ~2 x 4 B
+    per (dense) grid point regardless of the 6 x 16 accumulation passes.
+  * every micro-element vertex offset lies in {0,1}^3, so the 8 shifted
+    views are shared across all 6 congruence classes via pltpu.roll; values
+    wrapped around by the roll are always killed by the per-class base-region
+    masks (base + offset stays inside the macro-tet by construction).
+  * base-region masks are computed in-kernel from broadcasted_iota — no mask
+    arrays move through HBM.
+
+Falls back to the pure-XLA formulation (operators/p1_elementwise.py) off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..indexing import micro
+
+
+def _roll3(v, off):
+    """v shifted so that out[p] = v[p + off] (off in {0,1}^3), wrap garbage
+    left in place (masked by the caller). pltpu.roll needs non-negative
+    shifts, so roll by (size - off) cyclically."""
+    for ax, o in enumerate(off):
+        if o:
+            v = pltpu.roll(v, v.shape[ax] - o, axis=ax)
+    return v
+
+
+def _unroll3(v, off):
+    """out[p + off] = v[p]."""
+    for ax, o in enumerate(off):
+        if o:
+            v = pltpu.roll(v, o, axis=ax)
+    return v
+
+
+def _iota_sum(N: int, dim: int):
+    acc = None
+    for ax in range(dim):
+        i = jax.lax.broadcasted_iota(jnp.int32, (N,) * dim, ax)
+        acc = i if acc is None else acc + i
+    return acc
+
+
+def _make_kernel(level: int, dim: int, with_coeff: bool):
+    n = 1 << level
+    N = n + 1
+    offs = micro.offsets(dim)  # (T, nv, dim)
+    margins = micro.base_margin(dim)
+    T, nv = offs.shape[0], offs.shape[1]
+    all_offsets = sorted({tuple(int(x) for x in offs[t, b]) for t in range(T) for b in range(nv)})
+
+    def kernel(*refs):
+        if with_coeff:
+            elm_ref, src_ref, coeff_ref, dst_ref = refs
+        else:
+            elm_ref, src_ref, dst_ref = refs
+        c = pl.program_id(0)
+        src = src_ref[0]
+        rolls = {o: _roll3(src, o) for o in all_offsets}
+        if with_coeff:
+            co = coeff_ref[0]
+            crolls = {o: _roll3(co, o) for o in all_offsets}
+        s = _iota_sum(N, dim)
+        dst = jnp.zeros_like(src)
+        for t in range(T):
+            mask = (s <= n - int(margins[t])).astype(src.dtype)
+            if with_coeff:
+                scale = crolls[tuple(offs[t, 0])]
+                for b in range(1, nv):
+                    scale = scale + crolls[tuple(offs[t, b])]
+                mask = mask * (scale / nv)
+            for a in range(nv):
+                acc = elm_ref[c, t * nv * nv + a * nv] * rolls[tuple(offs[t, 0])]
+                for b in range(1, nv):
+                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * rolls[
+                        tuple(offs[t, b])
+                    ]
+                dst = dst + _unroll3(acc * mask, tuple(offs[t, a]))
+        dst_ref[0] = dst
+
+    return kernel, N, T, nv
+
+
+@functools.partial(jax.jit, static_argnames=("level", "dim"))
+def p1_apply_local_pallas(src, elmats, level: int, dim: int, coeff=None):
+    """Per-cell partial operator apply — Pallas TPU path.
+
+    src: (C, N,...); elmats: (C, T, nv, nv); coeff: optional (C, N,...).
+    Equivalent to operators.p1_elementwise.p1_apply_local.
+    """
+    C = src.shape[0]
+    kernel, N, T, nv = _make_kernel(level, dim, coeff is not None)
+    elm_flat = elmats.reshape(C, T * nv * nv).astype(src.dtype)
+
+    blk = (1,) + (N,) * dim
+    idx = lambda c, e: (c,) + (0,) * dim
+    data_spec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    in_specs = [data_spec]
+    args = [src]
+    if coeff is not None:
+        in_specs.append(data_spec)
+        args.append(coeff.astype(src.dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=in_specs,
+        out_specs=data_spec,
+    )
+    bytes_per = 4 * N**dim
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(src.shape, src.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * nv * nv * C * N**dim,
+            bytes_accessed=C * bytes_per * (3 if coeff is not None else 2),
+            transcendentals=0,
+        ),
+    )(elm_flat, *args)
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

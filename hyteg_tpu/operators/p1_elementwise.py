@@ -1,0 +1,216 @@
+"""Matrix-free P1 elementwise operators on structured micro-grids.
+
+TPU-native redesign of the reference's hot loop
+(reference: src/hyteg/elementwiseoperators/P1ElementwiseOperator.cpp:88-253
+and the generated constant-stencil kernels,
+src/constant_stencil_operator/P1generatedKernels/
+apply_3D_macrocell_vertexdof_to_vertexdof_replace.cpp:14-60).
+
+Formulation: for each micro-element congruence class t the local element
+matrix is constant over the macro-cell (affine geometry), so
+
+    dst[base + off_t[a]] += sum_b elMat[c, t, a, b] * src[base + off_t[b]]
+
+over all valid base positions — a sum of *shifted dense multiply-adds* over
+the (C, N, N, N) block, masked to the per-class base region. On TPU this is
+bandwidth-bound either way, so the flop overhead vs. an ideal 15-point
+stencil is free while staying exact for arbitrary per-cell geometry — the
+same code path serves constant, variable-coefficient and (via per-element
+rescaling) blended operators.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import BoundaryCondition, DoFType, FLAG_INNER, UpdateType
+from ..functions.p1 import P1Function, P1ShardData, P1Space
+from ..indexing import micro
+
+
+def _shift_read(u: jnp.ndarray, off, dim: int) -> jnp.ndarray:
+    """out[..., b] = u[..., b + off] (zero beyond the block)."""
+    if all(o == 0 for o in off):
+        return u
+    idx = (Ellipsis,) + tuple(slice(int(o), None) for o in off)
+    pads = [(0, 0)] * (u.ndim - dim) + [(0, int(o)) for o in off]
+    return jnp.pad(u[idx], pads)
+
+
+def _shift_write(v: jnp.ndarray, off, dim: int) -> jnp.ndarray:
+    """out[..., b + off] = v[..., b] (dropped beyond the block)."""
+    if all(o == 0 for o in off):
+        return v
+    pads = [(0, 0)] * (v.ndim - dim) + [(int(o), 0) for o in off]
+    idx = (Ellipsis,) + tuple(slice(0, v.shape[v.ndim - dim + i]) for i in range(dim))
+    return jnp.pad(v, pads)[idx]
+
+
+@functools.lru_cache(maxsize=None)
+def _class_masks(level: int, dim: int, dtype_name: str) -> tuple:
+    return tuple(
+        np.asarray(micro.elem_base_mask(level, t, dim), dtype=dtype_name)
+        for t in range(micro.num_classes(dim))
+    )
+
+
+def compute_elmats(space: P1Space, form, cell_vertices) -> jnp.ndarray:
+    """(C, T, nv, nv) element matrices — one micro-element per congruence
+    class (base-independent for affine cells). Traceable."""
+    dim = space.dim
+    verts = cell_vertices[..., :dim] if dim == 2 else cell_vertices
+    v0 = verts[:, :1, :]
+    J = verts[:, 1:, :] - v0  # (C, dim, dim) rows are edge vectors
+    offs = jnp.asarray(micro.offsets(dim), dtype=verts.dtype) / space.n
+    micro_verts = v0[:, None] + jnp.einsum("tvd,cde->ctve", offs, J)
+    return jnp.asarray(form(micro_verts), dtype=space.dtype)
+
+
+def p1_apply_local(
+    src: jnp.ndarray,
+    elmats: jnp.ndarray,
+    level: int,
+    dim: int,
+    coeff: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-cell operator apply (partial sums on interface rows).
+
+    src:    (C, N, N, N) / (C, N, N)
+    elmats: (C, T, nv, nv)
+    coeff:  optional (C, N...) nodal field; each element is scaled by the
+            mean of its nv vertex values (variable-coefficient path).
+    """
+    offs = micro.offsets(dim)  # (T, nv, dim)
+    T, nv = offs.shape[0], offs.shape[1]
+    masks = _class_masks(level, dim, str(src.dtype))
+    dst = jnp.zeros_like(src)
+    bshape = (-1,) + (1,) * dim
+    for t in range(T):
+        reads = [_shift_read(src, offs[t, b], dim) for b in range(nv)]
+        if coeff is not None:
+            creads = [_shift_read(coeff, offs[t, b], dim) for b in range(nv)]
+            scale = sum(creads) / nv
+        base_mask = jnp.asarray(masks[t])
+        for a in range(nv):
+            acc = elmats[:, t, a, 0].reshape(bshape) * reads[0]
+            for b in range(1, nv):
+                acc = acc + elmats[:, t, a, b].reshape(bshape) * reads[b]
+            if coeff is not None:
+                acc = acc * scale
+            dst = dst + _shift_write(acc * base_mask, offs[t, a], dim)
+    return dst
+
+
+def _p1_diag_local(elmats, level, dim, block_shape, coeff, entry_fn):
+    offs = micro.offsets(dim)
+    T, nv = offs.shape[0], offs.shape[1]
+    masks = _class_masks(level, dim, str(jnp.zeros(0, elmats.dtype).dtype))
+    dst = jnp.zeros(block_shape, dtype=elmats.dtype)
+    bshape = (-1,) + (1,) * dim
+    for t in range(T):
+        base_mask = jnp.asarray(masks[t])
+        if coeff is not None:
+            creads = [_shift_read(coeff, offs[t, b], dim) for b in range(nv)]
+            scale = sum(creads) / nv
+        for a in range(nv):
+            acc = jnp.broadcast_to(
+                entry_fn(elmats, t, a).reshape(bshape), block_shape
+            ) * base_mask
+            if coeff is not None:
+                acc = acc * scale
+            dst = dst + _shift_write(acc, offs[t, a], dim)
+    return dst
+
+
+def p1_diagonal_local(elmats, level, dim, block_shape, coeff=None):
+    """Per-cell partial diagonal: dst[base + off_a] += elMat[t, a, a]."""
+    return _p1_diag_local(
+        elmats, level, dim, block_shape, coeff, lambda e, t, a: e[:, t, a, a]
+    )
+
+
+def p1_lumped_local(elmats, level, dim, block_shape, coeff=None):
+    """Row-sum (lumped) partial diagonal: dst[off_a] += sum_b elMat[a, b]."""
+    return _p1_diag_local(
+        elmats, level, dim, block_shape, coeff, lambda e, t, a: e[:, t, a, :].sum(-1)
+    )
+
+
+class P1ElementwiseOperator:
+    """A: src -> dst with constant-per-cell element matrices.
+
+    ``form``: callable (..., nv, dim) physical vertex coords -> (..., nv, nv).
+    Variable-coefficient operators pass the nodal field via ``coeff=``.
+    """
+
+    def __init__(self, space: P1Space, form, shard: int = 0, elmats=None):
+        self.space = space
+        self.form = form
+        self.shard = shard
+        if elmats is None:
+            elmats = compute_elmats(
+                space, form, jnp.asarray(space.cell_vertices(shard))
+            )
+        self.elmats = elmats
+
+    @classmethod
+    def from_shard_data(cls, space: P1Space, form, sd: P1ShardData):
+        """Build with traced element matrices (shard_map path)."""
+        return cls(space, form, elmats=compute_elmats(space, form, sd.cell_vertices))
+
+    # -- raw array API (used by solvers inside jit) --------------------------
+
+    def apply_raw(self, x, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
+        """Full A x on every row (interface rows exchanged additively)."""
+        sp = self.space
+        sd = sp.resolve_sd(sd, self.shard)
+        y = p1_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
+        return sp.exchange_add(y, sd, axis_name)
+
+    def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
+                    coeff=None, axis_name=None) -> jnp.ndarray:
+        """A x with rows outside ``flag`` zeroed (Dirichlet rows untouched)."""
+        sd = self.space.resolve_sd(sd_or_bc, self.shard)
+        y = self.apply_raw(x, coeff, sd, axis_name)
+        return self.space.restore_rows(y, jnp.zeros_like(y), flag, sd)
+
+    def diagonal_raw(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
+        sp = self.space
+        sd = sp.resolve_sd(sd, self.shard)
+        d = p1_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+        return sp.exchange_add(d, sd, axis_name)
+
+    def inverse_diagonal(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
+        """1/diag on valid rows, 0 elsewhere
+        (reference: computeInverseDiagonalOperatorValues)."""
+        d = self.diagonal_raw(coeff, sd, axis_name)
+        mask = jnp.asarray(self.space.vertex_mask[None], dtype=bool)
+        return jnp.where(mask & (d != 0), 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
+    def lumped_inverse_diagonal(self, coeff=None, sd=None, axis_name=None):
+        sp = self.space
+        sd = sp.resolve_sd(sd, self.shard)
+        d = p1_lumped_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+        d = sp.exchange_add(d, sd, axis_name)
+        mask = jnp.asarray(sp.vertex_mask[None], dtype=bool)
+        return jnp.where(mask & (d != 0), 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
+    # -- HyTeG-style function API -------------------------------------------
+
+    def apply(
+        self,
+        src: P1Function,
+        dst: P1Function,
+        flag: DoFType = FLAG_INNER,
+        update: UpdateType = UpdateType.REPLACE,
+    ) -> P1Function:
+        sd = self.space.shard_data(self.shard, dst.bc)
+        y = self.apply_raw(src.cells, sd=sd)
+        if update == UpdateType.ADD:
+            y = y + dst.cells
+        out = self.space.restore_rows(y, dst.cells, flag, sd)
+        return P1Function(out, dst.space, dst.bc)

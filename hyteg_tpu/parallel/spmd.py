@@ -1,0 +1,147 @@
+"""Multi-device SPMD execution over a JAX device mesh.
+
+TPU-native analog of the reference's MPI distribution
+(reference: src/hyteg/primitivestorage/PrimitiveStorage.cpp:62-140 +
+communication/BufferedCommunication.*): macro-cells are sharded over a 1-D
+``cells`` mesh axis via shard_map; all interface exchanges become
+``psum`` collectives over that axis riding ICI (see P1Space.exchange_*).
+
+The per-shard slot maps are fed in as arrays sharded along their leading
+(device) axis, so the same kernels run single-device (static maps) and
+multi-device (traced maps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.5 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..core.types import BoundaryCondition, DoFType, FLAG_INNER
+from ..functions.p1 import P1ShardData, P1Space
+from ..primitives.storage import CellStorage
+
+AXIS = "cells"
+
+
+def device_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _sd_specs() -> P1ShardData:
+    """in_specs pytree for stacked shard data (leading device axis)."""
+    spec = P(AXIS)
+    return P1ShardData(*([spec] * 7))
+
+
+def _squeeze_sd(sd: P1ShardData) -> P1ShardData:
+    return jax.tree.map(lambda a: a[0], sd)
+
+
+class SpmdContext:
+    """Bundles a storage sharded over a device mesh with the per-level
+    stacked shard data and helpers to build sharded global DoF arrays."""
+
+    def __init__(self, storage: CellStorage, mesh: Mesh,
+                 bc: BoundaryCondition | None = None):
+        assert storage.num_shards == mesh.devices.size
+        self.storage = storage
+        self.mesh = mesh
+        self.bc = bc or BoundaryCondition.all_dirichlet()
+        self.num_devices = storage.num_shards
+
+    def space(self, level: int, dtype=jnp.float32) -> P1Space:
+        return P1Space(self.storage, level, dtype)
+
+    def stacked_sd(self, level: int):
+        return self.space(level).stacked_shard_data(self.bc)
+
+    def global_zeros(self, level: int, dtype=jnp.float32):
+        sp = self.space(level, dtype)
+        shape = (self.storage.num_cells,) + (sp.N,) * sp.dim
+        sharding = NamedSharding(self.mesh, P(AXIS))
+        return jax.device_put(jnp.zeros(shape, dtype), sharding)
+
+    def shard(self, fn: Callable, num_levels_args: list[int],
+              n_array_args: int, out_spec=P(AXIS)):
+        """Wrap ``fn(x1..xn, sd_l1.., axis_name=AXIS)`` with shard_map.
+
+        fn receives device-local DoF blocks and squeezed P1ShardData per
+        level (in the order of num_levels_args).
+        """
+        sds = [self.stacked_sd(l) for l in num_levels_args]
+
+        def wrapped(*arrays):
+            def body(*args):
+                xs = args[:n_array_args]
+                sd_stacked = args[n_array_args:]
+                sd_local = [_squeeze_sd(s) for s in sd_stacked]
+                return fn(*xs, *sd_local)
+
+            specs_in = tuple([P(AXIS)] * n_array_args) + tuple(
+                _sd_specs() for _ in sds
+            )
+            return shard_map(
+                body, mesh=self.mesh, in_specs=specs_in, out_specs=out_spec,
+                check_vma=False,
+            )(*arrays, *sds)
+
+        return wrapped
+
+
+def build_spmd_poisson_vcycle(
+    ctx: SpmdContext,
+    min_level: int,
+    max_level: int,
+    form=None,
+    smoother: str = "chebyshev",
+    eigs: dict[int, float] | None = None,
+    **gmg_kwargs,
+):
+    """Returns jitted (x, b) -> x running one V-cycle, fully sharded.
+
+    The GMG stack (element matrices, diagonals, spectral estimates) is built
+    inside the trace from the sharded maps, so one jit covers setup + cycle.
+    """
+    from ..operators import forms as _forms
+    from ..solvers.templates import make_p1_gmg
+
+    form = form or _forms.laplace_form
+    levels = list(range(min_level, max_level + 1))
+
+    def step(x, b, *sd_local):
+        sd_per_level = dict(zip(levels, sd_local))
+        stack = make_p1_gmg(
+            ctx.storage, min_level, max_level, form=form, bc=ctx.bc,
+            smoother=smoother, axis_name=AXIS, sd_per_level=sd_per_level,
+            eigs=eigs, **gmg_kwargs,
+        )
+        return stack.gmg.cycle(x, b)
+
+    sharded = ctx.shard(step, levels, n_array_args=2)
+    return jax.jit(sharded)
+
+
+def build_spmd_apply(ctx: SpmdContext, level: int, form=None):
+    """Jitted sharded operator apply (the weak-scaling benchmark kernel)."""
+    from ..operators import forms as _forms
+    from ..operators.p1_elementwise import P1ElementwiseOperator
+
+    form = form or _forms.laplace_form
+    sp = ctx.space(level)
+
+    def step(x, sd_local):
+        op = P1ElementwiseOperator.from_shard_data(sp, form, sd_local)
+        return op.apply_raw(x, sd=sd_local, axis_name=AXIS)
+
+    return jax.jit(ctx.shard(step, [level], n_array_args=1))
