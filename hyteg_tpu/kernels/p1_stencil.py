@@ -65,34 +65,31 @@ def _make_kernel(level: int, dim: int, with_coeff: bool):
     T, nv = offs.shape[0], offs.shape[1]
     all_offsets = sorted({tuple(int(x) for x in offs[t, b]) for t in range(T) for b in range(nv)})
 
+    # VMEM pressure: compute the shifted views per congruence class (<= nv
+    # live at a time) and accumulate straight into the output ref — keeping
+    # all 8 shifted copies live for the whole kernel OOMs scoped vmem at
+    # N >= 33.
     def kernel(*refs):
         if with_coeff:
             elm_ref, src_ref, coeff_ref, dst_ref = refs
         else:
             elm_ref, src_ref, dst_ref = refs
         c = pl.program_id(0)
-        src = src_ref[0]
-        rolls = {o: _roll3(src, o) for o in all_offsets}
-        if with_coeff:
-            co = coeff_ref[0]
-            crolls = {o: _roll3(co, o) for o in all_offsets}
         s = _iota_sum(N, dim)
-        dst = jnp.zeros_like(src)
+        dst_ref[0] = jnp.zeros((N,) * dim, dtype=dst_ref.dtype)
         for t in range(T):
-            mask = (s <= n - int(margins[t])).astype(src.dtype)
+            mask = (s <= n - int(margins[t])).astype(dst_ref.dtype)
+            rolls_t = [_roll3(src_ref[0], tuple(offs[t, b])) for b in range(nv)]
             if with_coeff:
-                scale = crolls[tuple(offs[t, 0])]
+                scale = _roll3(coeff_ref[0], tuple(offs[t, 0]))
                 for b in range(1, nv):
-                    scale = scale + crolls[tuple(offs[t, b])]
+                    scale = scale + _roll3(coeff_ref[0], tuple(offs[t, b]))
                 mask = mask * (scale / nv)
             for a in range(nv):
-                acc = elm_ref[c, t * nv * nv + a * nv] * rolls[tuple(offs[t, 0])]
+                acc = elm_ref[c, t * nv * nv + a * nv] * rolls_t[0]
                 for b in range(1, nv):
-                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * rolls[
-                        tuple(offs[t, b])
-                    ]
-                dst = dst + _unroll3(acc * mask, tuple(offs[t, a]))
-        dst_ref[0] = dst
+                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * rolls_t[b]
+                dst_ref[0] = dst_ref[0] + _unroll3(acc * mask, tuple(offs[t, a]))
 
     return kernel, N, T, nv
 
@@ -136,8 +133,76 @@ def p1_apply_local_pallas(src, elmats, level: int, dim: int, coeff=None):
     )(elm_flat, *args)
 
 
+def _make_diag_kernel(level: int, dim: int, lumped: bool, with_coeff: bool):
+    n = 1 << level
+    N = n + 1
+    offs = micro.offsets(dim)
+    margins = micro.base_margin(dim)
+    T, nv = offs.shape[0], offs.shape[1]
+    all_offsets = sorted(
+        {tuple(int(x) for x in offs[t, b]) for t in range(T) for b in range(nv)}
+    )
+
+    def kernel(*refs):
+        if with_coeff:
+            elm_ref, coeff_ref, dst_ref = refs
+        else:
+            elm_ref, dst_ref = refs
+        c = pl.program_id(0)
+        if with_coeff:
+            co = coeff_ref[0]
+            crolls = {o: _roll3(co, o) for o in all_offsets}
+        s = _iota_sum(N, dim)
+        dst = jnp.zeros((N,) * dim, dtype=dst_ref.dtype)
+        for t in range(T):
+            mask = (s <= n - int(margins[t])).astype(dst.dtype)
+            if with_coeff:
+                scale = crolls[tuple(offs[t, 0])]
+                for b in range(1, nv):
+                    scale = scale + crolls[tuple(offs[t, b])]
+                mask = mask * (scale / nv)
+            for a in range(nv):
+                if lumped:
+                    w = elm_ref[c, t * nv * nv + a * nv]
+                    for b in range(1, nv):
+                        w = w + elm_ref[c, t * nv * nv + a * nv + b]
+                else:
+                    w = elm_ref[c, t * nv * nv + a * nv + a]
+                dst = dst + _unroll3(w * mask, tuple(offs[t, a]))
+        dst_ref[0] = dst
+
+    return kernel, N, T, nv
+
+
+@functools.partial(jax.jit, static_argnames=("level", "dim", "lumped"))
+def p1_diagonal_local_pallas(elmats, level: int, dim: int, lumped: bool = False,
+                             coeff=None):
+    """Per-cell partial (lumped) diagonal — Pallas TPU path."""
+    C = elmats.shape[0]
+    kernel, N, T, nv = _make_diag_kernel(level, dim, lumped, coeff is not None)
+    elm_flat = elmats.reshape(C, T * nv * nv)
+
+    blk = (1,) + (N,) * dim
+    idx = lambda c, e: (c,) + (0,) * dim
+    data_spec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    in_specs = []
+    args = []
+    if coeff is not None:
+        in_specs.append(data_spec)
+        args.append(coeff.astype(elmats.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(C,), in_specs=in_specs, out_specs=data_spec
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C,) + (N,) * dim, elmats.dtype),
+    )(elm_flat, *args)
+
+
+@functools.lru_cache(maxsize=1)
 def pallas_available() -> bool:
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False

@@ -32,6 +32,12 @@ from ..functions.p1 import P1Function, P1ShardData, P1Space
 from ..indexing import micro
 
 
+def _use_pallas() -> bool:
+    from ..kernels.p1_stencil import pallas_available
+
+    return pallas_available()
+
+
 def _shift_read(u: jnp.ndarray, off, dim: int) -> jnp.ndarray:
     """out[..., b] = u[..., b + off] (zero beyond the block)."""
     if all(o == 0 for o in off):
@@ -168,7 +174,12 @@ class P1ElementwiseOperator:
         """Full A x on every row (interface rows exchanged additively)."""
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        y = p1_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
+        if _use_pallas():
+            from ..kernels.p1_stencil import p1_apply_local_pallas
+
+            y = p1_apply_local_pallas(x, self.elmats, sp.level, sp.dim, coeff)
+        else:
+            y = p1_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
         return sp.exchange_add(y, sd, axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
@@ -181,7 +192,12 @@ class P1ElementwiseOperator:
     def diagonal_raw(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        d = p1_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+        if _use_pallas():
+            from ..kernels.p1_stencil import p1_diagonal_local_pallas
+
+            d = p1_diagonal_local_pallas(self.elmats, sp.level, sp.dim, False, coeff)
+        else:
+            d = p1_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
