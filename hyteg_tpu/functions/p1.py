@@ -44,16 +44,17 @@ class P1ShardData:
     slot_doftype: jnp.ndarray   # (S,) int32 — DoFType under the function's BC
     cell_valid: jnp.ndarray     # (C_loc,) bool
     cell_vertices: jnp.ndarray  # (C_loc, nv, 3) float
+    bc: BoundaryCondition | None = None  # static (pytree aux)
 
     def tree_flatten(self):
         return (
             self.slot_flat, self.slot_gid, self.slot_rep, self.slot_inv_mult,
             self.slot_doftype, self.cell_valid, self.cell_vertices,
-        ), None
+        ), (self.bc,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, bc=aux[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -191,6 +192,27 @@ class P1Space:
             out[flags == f] = int(bc.doftype_of(int(f)))
         return out
 
+    #: module-wide switch for the dense structured exchange fast path
+    use_dense_exchange: bool = True
+
+    @functools.cached_property
+    def dense_ifc(self):
+        from .ifc_dense import build_dense_ifc
+
+        if self.storage.num_shards != 1:
+            return None
+        return build_dense_ifc(self.storage, self.level)
+
+    def _dense_ok(self, sd: P1ShardData, axis_name) -> bool:
+        return (
+            P1Space.use_dense_exchange
+            and axis_name is None
+            and self.storage.num_shards == 1
+            and sd.bc is not None
+            and not isinstance(sd.slot_flat, jax.core.Tracer)
+            and self.dense_ifc is not None
+        )
+
     def resolve_sd(self, sd_or_bc=None, shard: int = 0) -> P1ShardData:
         """Accept a P1ShardData (traced path), a BoundaryCondition (static
         path), or None (default all-Dirichlet BC)."""
@@ -213,6 +235,7 @@ class P1Space:
                 slot_doftype=jnp.asarray(self.slot_doftype_np(bc)[shard]),
                 cell_valid=jnp.asarray(self.cell_valid(shard)),
                 cell_vertices=jnp.asarray(self.cell_vertices(shard)),
+                bc=bc,
             )
         return self._sd_cache[key]
 
@@ -231,6 +254,7 @@ class P1Space:
             cell_vertices=self.storage.cell_vertices.reshape(
                 self.storage.num_shards, self.C_loc, self.dim + 1, 3
             ).astype(np.float32),
+            bc=bc,
         )
 
     # -- exchanges (the halo-communication analog) ---------------------------
@@ -238,6 +262,8 @@ class P1Space:
     def exchange_add(self, u, sd=None, axis_name=None) -> jnp.ndarray:
         """Replicas <- sum over replicas (additive halo exchange)."""
         sd = self.resolve_sd(sd)
+        if self._dense_ok(sd, axis_name):
+            return self.dense_ifc.exchange_add(u)
         flat = u.reshape(-1)
         vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
         g = jax.ops.segment_sum(
@@ -251,6 +277,8 @@ class P1Space:
     def exchange_rep(self, u, sd=None, axis_name=None) -> jnp.ndarray:
         """Replicas <- representative's value (consistency sync)."""
         sd = self.resolve_sd(sd)
+        if self._dense_ok(sd, axis_name):
+            return self.dense_ifc.exchange_rep(u)
         flat = u.reshape(-1)
         vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
         g = jax.ops.segment_sum(
@@ -278,6 +306,11 @@ class P1Space:
         """Global dot product counting every DoF once
         (reference: VertexDoFFunction::dotGlobal)."""
         sd = self.resolve_sd(sd)
+        if self._dense_ok(sd, axis_name):
+            acc = jnp.asarray(0.0, dtype=self.dtype)
+            if flag & DoFType.INNER:
+                acc = acc + jnp.sum(u * v * self._interior_weight(sd))
+            return acc + self.dense_ifc.dot_ifc(u, v, flag, sd.bc)
         acc = jnp.asarray(0.0, dtype=self.dtype)
         if flag & DoFType.INNER:
             acc = acc + jnp.sum(u * v * self._interior_weight(sd))
@@ -315,6 +348,9 @@ class P1Space:
         sd = self.resolve_sd(sd)
         if flag == DoFType.ALL:
             return new
+        if self._dense_ok(sd, None):
+            base = new if (flag & DoFType.INNER) else old
+            return self.dense_ifc.restore_rows(base, new, old, flag, sd.bc)
         sel = self._slot_in_flag(sd, flag)
         newf, oldf = new.reshape(-1), old.reshape(-1)
         idx = jnp.minimum(sd.slot_flat, newf.shape[0] - 1)

@@ -79,16 +79,19 @@ def _make_kernel(level: int, dim: int, with_coeff: bool):
         dst_ref[0] = jnp.zeros((N,) * dim, dtype=dst_ref.dtype)
         for t in range(T):
             mask = (s <= n - int(margins[t])).astype(dst_ref.dtype)
-            rolls_t = [_roll3(src_ref[0], tuple(offs[t, b])) for b in range(nv)]
             if with_coeff:
                 scale = _roll3(coeff_ref[0], tuple(offs[t, 0]))
                 for b in range(1, nv):
                     scale = scale + _roll3(coeff_ref[0], tuple(offs[t, b]))
                 mask = mask * (scale / nv)
             for a in range(nv):
-                acc = elm_ref[c, t * nv * nv + a * nv] * rolls_t[0]
+                acc = elm_ref[c, t * nv * nv + a * nv] * _roll3(
+                    src_ref[0], tuple(offs[t, 0])
+                )
                 for b in range(1, nv):
-                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * rolls_t[b]
+                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * _roll3(
+                        src_ref[0], tuple(offs[t, b])
+                    )
                 dst_ref[0] = dst_ref[0] + _unroll3(acc * mask, tuple(offs[t, a]))
 
     return kernel, N, T, nv
@@ -197,6 +200,243 @@ def p1_diagonal_local_pallas(elmats, level: int, dim: int, lumped: bool = False,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C,) + (N,) * dim, elmats.dtype),
+    )(elm_flat, *args)
+
+
+# ---------------------------------------------------------------------------
+# flat-lane variant: blocks (C, N, N*N) — last dim nearly fully packs the
+# 128-lane tiles (the (N, N, N) layout pads N -> 128 lanes, wasting ~4x
+# bandwidth and VPU width at N=33). Shifts become lane rolls by oz + oy*N;
+# roll wrap-around garbage is masked by the class base-region masks exactly
+# as in the 3D variant (base + offset leaves the tet region -> masked).
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_flat(level: int, dim: int, with_coeff: bool):
+    n = 1 << level
+    N = n + 1
+    NN = N * N if dim == 3 else N
+    offs = micro.offsets(dim)
+    margins = micro.base_margin(dim)
+    T, nv = offs.shape[0], offs.shape[1]
+
+    def lane_shift(off):
+        return int(off[-1]) if dim == 2 else int(off[1]) * N + int(off[2])
+
+    def roll_read(v, off):
+        ls = lane_shift(off)
+        if ls:
+            v = pltpu.roll(v, NN - ls, axis=1)
+        if off[0]:
+            v = pltpu.roll(v, N - int(off[0]), axis=0)
+        return v
+
+    def roll_write(v, off):
+        ls = lane_shift(off)
+        if ls:
+            v = pltpu.roll(v, ls, axis=1)
+        if off[0]:
+            v = pltpu.roll(v, int(off[0]), axis=0)
+        return v
+
+    def kernel(*refs):
+        if with_coeff:
+            elm_ref, yz_ref, src_ref, coeff_ref, dst_ref = refs
+        else:
+            elm_ref, yz_ref, src_ref, dst_ref = refs
+        c = pl.program_id(0)
+        # S(x, flat) = x + y + z
+        xs = jax.lax.broadcasted_iota(jnp.int32, (N, NN), 0)
+        if dim == 3:
+            s = xs + yz_ref[0, :][None, :]
+        else:
+            s = xs + jax.lax.broadcasted_iota(jnp.int32, (N, NN), 1)
+        dst_ref[0] = jnp.zeros((N, NN), dtype=dst_ref.dtype)
+        for t in range(T):
+            mask = (s <= n - int(margins[t])).astype(dst_ref.dtype)
+            if with_coeff:
+                scale = roll_read(coeff_ref[0], offs[t, 0])
+                for b in range(1, nv):
+                    scale = scale + roll_read(coeff_ref[0], offs[t, b])
+                mask = mask * (scale / nv)
+            for a in range(nv):
+                acc = elm_ref[c, t * nv * nv + a * nv] * roll_read(
+                    src_ref[0], offs[t, 0]
+                )
+                for b in range(1, nv):
+                    acc = acc + elm_ref[c, t * nv * nv + a * nv + b] * roll_read(
+                        src_ref[0], offs[t, b]
+                    )
+                dst_ref[0] = dst_ref[0] + roll_write(acc * mask, offs[t, a])
+
+    return kernel, N, NN, T, nv
+
+
+@functools.partial(jax.jit, static_argnames=("level", "dim"))
+def p1_apply_local_pallas_flat(src2d, elmats, level: int, dim: int, coeff=None):
+    """Flat-lane per-cell apply: src2d (C, N, N*N) [3D] or (C, N, N) [2D]."""
+    C = src2d.shape[0]
+    kernel, N, NN, T, nv = _make_kernel_flat(level, dim, coeff is not None)
+    elm_flat = elmats.reshape(C, T * nv * nv).astype(src2d.dtype)
+    yzsum = (
+        np.add.outer(np.arange(N), np.arange(N)).reshape(-1).astype(np.int32)
+        if dim == 3
+        else np.zeros(NN, np.int32)
+    )
+
+    blk = (1, N, NN)
+    idx = lambda c, *_: (c, 0, 0)
+    data_spec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, NN), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
+        data_spec,
+    ]
+    args = [yzsum.reshape(1, NN), src2d]
+    if coeff is not None:
+        in_specs.append(data_spec)
+        args.append(coeff.astype(src2d.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(C,), in_specs=in_specs, out_specs=data_spec
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(src2d.shape, src2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * nv * nv * C * N * NN,
+            bytes_accessed=C * 4 * N * NN * (3 if coeff is not None else 2),
+            transcendentals=0,
+        ),
+    )(elm_flat, *args)
+
+
+def _make_kernel_flat_v2(level: int, dim: int, with_coeff: bool, share_rolls: bool):
+    """Write-offset-grouped flat kernel: 7 read-rolls + 7 write-rolls total
+    (shared across classes) instead of per-(class, vertex) rolls."""
+    n = 1 << level
+    N = n + 1
+    NN = N * N if dim == 3 else N
+    offs = micro.offsets(dim)
+    margins = micro.base_margin(dim)
+    T, nv = offs.shape[0], offs.shape[1]
+    all_offsets = sorted(
+        {tuple(int(x) for x in offs[t, b]) for t in range(T) for b in range(nv)}
+    )
+
+    def lane_shift(off):
+        return int(off[-1]) if dim == 2 else int(off[1]) * N + int(off[2])
+
+    def roll_read(v, off):
+        ls = lane_shift(off)
+        if ls:
+            v = pltpu.roll(v, NN - ls, axis=1)
+        if off[0]:
+            v = pltpu.roll(v, N - int(off[0]), axis=0)
+        return v
+
+    def roll_write(v, off):
+        ls = lane_shift(off)
+        if ls:
+            v = pltpu.roll(v, ls, axis=1)
+        if off[0]:
+            v = pltpu.roll(v, int(off[0]), axis=0)
+        return v
+
+    # group (t, a) by write offset
+    by_write = {o: [] for o in all_offsets}
+    for t in range(T):
+        for a in range(nv):
+            by_write[tuple(int(x) for x in offs[t, a])].append((t, a))
+
+    def kernel(*refs):
+        if with_coeff:
+            elm_ref, yz_ref, src_ref, coeff_ref, dst_ref = refs
+        else:
+            elm_ref, yz_ref, src_ref, dst_ref = refs
+        c = pl.program_id(0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (N, NN), 0)
+        if dim == 3:
+            s = xs + yz_ref[0, :][None, :]
+        else:
+            s = xs + jax.lax.broadcasted_iota(jnp.int32, (N, NN), 1)
+        masks = [
+            (s <= n - int(margins[t])).astype(dst_ref.dtype) for t in range(T)
+        ]
+        if share_rolls:
+            rolls = {o: roll_read(src_ref[0], o) for o in all_offsets}
+            get = lambda o: rolls[o]
+        else:
+            get = lambda o: roll_read(src_ref[0], o)
+        if with_coeff:
+            if share_rolls:
+                crolls = {o: roll_read(coeff_ref[0], o) for o in all_offsets}
+                cget = lambda o: crolls[o]
+            else:
+                cget = lambda o: roll_read(coeff_ref[0], o)
+        dst = jnp.zeros((N, NN), dtype=dst_ref.dtype)
+        for o_w, members in by_write.items():
+            acc = None
+            for (t, a) in members:
+                inner = None
+                for b in range(nv):
+                    term = elm_ref[c, t * nv * nv + a * nv + b] * get(
+                        tuple(int(x) for x in offs[t, b])
+                    )
+                    inner = term if inner is None else inner + term
+                m = masks[t]
+                if with_coeff:
+                    sc = None
+                    for b in range(nv):
+                        r = cget(tuple(int(x) for x in offs[t, b]))
+                        sc = r if sc is None else sc + r
+                    m = m * (sc / nv)
+                contrib = m * inner
+                acc = contrib if acc is None else acc + contrib
+            dst = dst + roll_write(acc, o_w)
+        dst_ref[0] = dst
+
+    return kernel, N, NN, T, nv
+
+
+@functools.partial(jax.jit, static_argnames=("level", "dim"))
+def p1_apply_local_pallas_flat_v2(src2d, elmats, level: int, dim: int, coeff=None):
+    C = src2d.shape[0]
+    n = 1 << level
+    N = n + 1
+    NN = N * N if dim == 3 else N
+    # share rolls when ~14 live arrays fit in VMEM
+    phys = 4 * ((N + 7) // 8 * 8) * ((NN + 127) // 128 * 128)
+    share = phys * 16 < 14 * 1024 * 1024
+    kernel, N, NN, T, nv = _make_kernel_flat_v2(level, dim, coeff is not None, share)
+    elm_flat = elmats.reshape(C, T * nv * nv).astype(src2d.dtype)
+    yzsum = (
+        np.add.outer(np.arange(N), np.arange(N)).reshape(-1).astype(np.int32)
+        if dim == 3
+        else np.zeros(NN, np.int32)
+    )
+    blk = (1, N, NN)
+    idx = lambda c, *_: (c, 0, 0)
+    data_spec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, NN), lambda c, *_: (0, 0), memory_space=pltpu.VMEM),
+        data_spec,
+    ]
+    args = [yzsum.reshape(1, NN), src2d]
+    if coeff is not None:
+        in_specs.append(data_spec)
+        args.append(coeff.astype(src2d.dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(C,), in_specs=in_specs, out_specs=data_spec
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(src2d.shape, src2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * nv * nv * C * N * NN,
+            bytes_accessed=C * 4 * N * NN * (3 if coeff is not None else 2),
+            transcendentals=0,
+        ),
     )(elm_flat, *args)
 
 

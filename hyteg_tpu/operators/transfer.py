@@ -96,13 +96,16 @@ class P1Transfer:
         fsp = self.fine
         sd_f = fsp.resolve_sd(sd_fine)
         sd_c = self.coarse.resolve_sd(sd_coarse)
-        # prescale interface replicas
-        inv = sd_f.slot_inv_mult.astype(rf.dtype)
-        sf = sd_f.slot_flat
-        flat = rf.reshape(-1)
-        idx = jnp.minimum(sf, flat.shape[0] - 1)
-        flat = flat.at[sf].set(flat[idx] * inv, mode="drop")
-        rfs = flat.reshape(rf.shape)
+        # prescale interface replicas by 1/multiplicity
+        if fsp._dense_ok(sd_f, axis_name):
+            rfs = fsp.dense_ifc.scale_ifc(rf)
+        else:
+            inv = sd_f.slot_inv_mult.astype(rf.dtype)
+            sf = sd_f.slot_flat
+            flat = rf.reshape(-1)
+            idx = jnp.minimum(sf, flat.shape[0] - 1)
+            flat = flat.at[sf].set(flat[idx] * inv, mode="drop")
+            rfs = flat.reshape(rf.shape)
         # mask out anything beyond the fine tet region (hygiene)
         rfs = rfs * jnp.asarray(
             micro.vertex_mask(fsp.level, dim)[None], dtype=rf.dtype

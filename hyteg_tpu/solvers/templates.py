@@ -75,6 +75,7 @@ def make_p1_gmg(
     sd_per_level: dict[int, P1ShardData] | None = None,
     eigs: dict[int, float] | None = None,
     dtype=jnp.float32,
+    space_kind: str = "p1",
 ) -> P1GMGStack:
     """GMG stack for a scalar P1 operator (reference pattern:
     tutorials/FA.01_GeometricMultigrid + GeometricMultigridSolver.hpp:39).
@@ -85,22 +86,42 @@ def make_p1_gmg(
     """
     bc = bc or BoundaryCondition.all_dirichlet()
     lrange = range(min_level, max_level + 1)
-    spaces = {l: P1Space(storage, l, dtype=dtype) for l in lrange}
+    if space_kind == "p1":
+        spaces = {l: P1Space(storage, l, dtype=dtype) for l in lrange}
+    else:
+        from ..functions.p2 import P2Space
+
+        spaces = {l: P2Space(storage, l, dtype=dtype) for l in lrange}
     if sd_per_level is None:
         sds = {l: spaces[l].shard_data(shard, bc) for l in lrange}
         traced = False
     else:
         sds = sd_per_level
         traced = True
-    if traced:
-        ops = {l: P1ElementwiseOperator.from_shard_data(spaces[l], form, sds[l])
-               for l in lrange}
+    if space_kind == "p1":
+        if traced:
+            ops = {l: P1ElementwiseOperator.from_shard_data(spaces[l], form, sds[l])
+                   for l in lrange}
+        else:
+            ops = {l: P1ElementwiseOperator(spaces[l], form, shard) for l in lrange}
+        transfers = {
+            l: P1Transfer(spaces[l - 1], spaces[l])
+            for l in range(min_level + 1, max_level + 1)
+        }
     else:
-        ops = {l: P1ElementwiseOperator(spaces[l], form, shard) for l in lrange}
-    transfers = {
-        l: P1Transfer(spaces[l - 1], spaces[l])
-        for l in range(min_level + 1, max_level + 1)
-    }
+        from ..operators.p2_elementwise import P2ElementwiseOperator
+        from ..operators.p2_transfer import P2Transfer
+
+        kind = form if isinstance(form, str) else "laplace"
+        if traced:
+            ops = {l: P2ElementwiseOperator.from_shard_data(spaces[l], kind, sds[l])
+                   for l in lrange}
+        else:
+            ops = {l: P2ElementwiseOperator(spaces[l], kind, shard) for l in lrange}
+        transfers = {
+            l: P2Transfer(spaces[l - 1], spaces[l])
+            for l in range(min_level + 1, max_level + 1)
+        }
     inv_diags = {l: ops[l].inverse_diagonal(sd=sds[l], axis_name=axis_name)
                  for l in lrange}
 
@@ -170,3 +191,11 @@ def make_p1_gmg(
     return P1GMGStack(
         storage, spaces, ops, transfers, inv_diags, sds, gmg, flag, axis_name
     )
+
+
+def make_p2_gmg(storage, min_level: int, max_level: int, form: str = "laplace",
+                **kwargs) -> P1GMGStack:
+    """P2 GMG stack with quadratic transfers (reference pattern:
+    P2 multigrid with P2toP2Quadratic P/R, GeometricMultigridSolver)."""
+    return make_p1_gmg(storage, min_level, max_level, form=form,
+                       space_kind="p2", **kwargs)
