@@ -62,6 +62,86 @@ def cg_solve(
     return CGResult(x, k, rr)
 
 
+def minres_solve(
+    apply_fn: Callable,
+    dot_fn: Callable,
+    b,
+    x0,
+    max_iter: int,
+    rtol: float = 1e-8,
+    prec_fn: Callable | None = None,
+):
+    """Preconditioned MINRES (reference: src/hyteg/solvers/MinresSolver.hpp)
+    — the Stokes/saddle-point workhorse. Operands may be any pytree
+    supporting +, -, scalar *, matching apply_fn/dot_fn."""
+    prec = prec_fn if prec_fn is not None else (lambda r: r)
+
+    import jax.tree_util as jtu
+
+    def axpy(a, x, y):  # a*x + y over pytrees
+        return jtu.tree_map(lambda u, v: a * u + v, x, y)
+
+    def scale(a, x):
+        return jtu.tree_map(lambda u: a * u, x)
+
+    def zeros_like(x):
+        return jtu.tree_map(jnp.zeros_like, x)
+
+    r1 = jtu.tree_map(lambda u, v: u - v, b, apply_fn(x0))
+    y = prec(r1)
+    beta1 = jnp.sqrt(jnp.maximum(dot_fn(r1, y), 0.0))
+    tol = rtol * beta1
+
+    state = dict(
+        x=x0, r1=r1, r2=r1, y=y,
+        oldb=jnp.asarray(0.0), beta=beta1, dbar=jnp.asarray(0.0),
+        epsln=jnp.asarray(0.0), phibar=beta1,
+        cs=jnp.asarray(-1.0), sn=jnp.asarray(0.0),
+        w=zeros_like(x0), w2=zeros_like(x0),
+        k=jnp.asarray(0),
+    )
+
+    def cond(s):
+        return (s["k"] < max_iter) & (s["phibar"] > tol)
+
+    def body(s):
+        v = scale(1.0 / jnp.where(s["beta"] == 0, 1.0, s["beta"]), s["y"])
+        y = apply_fn(v)
+        coef = jnp.where(s["k"] >= 1, s["beta"] / jnp.where(s["oldb"] == 0, 1.0, s["oldb"]), 0.0)
+        y = axpy(-coef, s["r1"], y)
+        alfa = dot_fn(v, y)
+        y = axpy(-alfa / jnp.where(s["beta"] == 0, 1.0, s["beta"]), s["r2"], y)
+        r1, r2 = s["r2"], y
+        y = prec(r2)
+        oldb = s["beta"]
+        beta = jnp.sqrt(jnp.maximum(dot_fn(r2, y), 0.0))
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta
+        dbar = -s["cs"] * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + beta**2), 1e-30)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+        w1 = s["w2"]
+        w2 = s["w"]
+        w = scale(
+            1.0 / gamma,
+            axpy(-oldeps, w1, axpy(-delta, w2, v)),
+        )
+        x = axpy(phi, w, s["x"])
+        return dict(
+            x=x, r1=r1, r2=r2, y=y, oldb=oldb, beta=beta, dbar=dbar,
+            epsln=epsln, phibar=phibar, cs=cs, sn=sn, w=w, w2=w2,
+            k=s["k"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["x"], out["k"], out["phibar"]
+
+
 def cg_solve_fixed(
     apply_fn: Callable,
     dot_fn: Callable,
