@@ -24,7 +24,7 @@ def main():
     from hyteg_tpu.primitives.storage import CellStorage
     from hyteg_tpu.functions.p1 import P1Space
 
-    level = 5
+    level = 6
     storage = CellStorage(mi.mesh_unit_cube(2), num_shards=1)  # 48 macro-cells
     space = P1Space(storage, level)
     op = P1ElementwiseOperator(space, forms.laplace_form)
@@ -40,7 +40,7 @@ def main():
     y = apply_fn(x)
     jax.block_until_ready(y)
 
-    iters = 50
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         x = apply_fn(x)

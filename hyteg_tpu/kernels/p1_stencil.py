@@ -359,9 +359,14 @@ def _make_kernel_flat_v2(level: int, dim: int, with_coeff: bool, share_rolls: bo
             s = xs + yz_ref[0, :][None, :]
         else:
             s = xs + jax.lax.broadcasted_iota(jnp.int32, (N, NN), 1)
-        masks = [
-            (s <= n - int(margins[t])).astype(dst_ref.dtype) for t in range(T)
-        ]
+        if share_rolls:
+            masks = [
+                (s <= n - int(margins[t])).astype(dst_ref.dtype)
+                for t in range(T)
+            ]
+            getmask = lambda t: masks[t]
+        else:
+            getmask = lambda t: (s <= n - int(margins[t])).astype(dst_ref.dtype)
         if share_rolls:
             rolls = {o: roll_read(src_ref[0], o) for o in all_offsets}
             get = lambda o: rolls[o]
@@ -383,7 +388,7 @@ def _make_kernel_flat_v2(level: int, dim: int, with_coeff: bool, share_rolls: bo
                         tuple(int(x) for x in offs[t, b])
                     )
                     inner = term if inner is None else inner + term
-                m = masks[t]
+                m = getmask(t)
                 if with_coeff:
                     sc = None
                     for b in range(nv):

@@ -175,9 +175,13 @@ class P1ElementwiseOperator:
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
         if _use_pallas():
-            from ..kernels.p1_stencil import p1_apply_local_pallas
+            from ..kernels.p1_stencil import p1_apply_local_pallas_flat_v2
 
-            y = p1_apply_local_pallas(x, self.elmats, sp.level, sp.dim, coeff)
+            N = sp.N
+            xf = x.reshape(x.shape[0], N, -1)
+            cf = None if coeff is None else coeff.reshape(xf.shape)
+            y = p1_apply_local_pallas_flat_v2(xf, self.elmats, sp.level,
+                                              sp.dim, cf).reshape(x.shape)
         else:
             y = p1_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
         return sp.exchange_add(y, sd, axis_name)

@@ -146,3 +146,35 @@ def test_stokes_minres_solve(stokes2d):
     pl2 = float(jnp.sqrt(st.pre_space.dot(perr, perr, DoFType.ALL, st._pre_sd)))
     pref = float(jnp.sqrt(st.pre_space.dot(pe, pe, DoFType.ALL, st._pre_sd)))
     assert pl2 < 0.25 * pref, (pl2, pref)
+
+
+def test_stokes_gmg_uzawa():
+    """Stokes GMG with inexact Uzawa smoothing converges
+    (reference: P1P1StokesUzawaConvergenceTest pattern)."""
+    from hyteg_tpu.solvers.uzawa import make_stokes_gmg
+
+    storage = CellStorage(mi.mesh_rectangle((0, 0), (1, 1), 2, 2), num_shards=1)
+    stokes, gmg = make_stokes_gmg(storage, 1, 2, pre_smooth=3, post_smooth=3,
+                                  omega_p=0.4, coarse_iters=120)
+    st = stokes[2]
+    mass = P2ElementwiseOperator(st.vel_space, "mass")
+    fvals = [st.vel_space.interpolate(_forcing(d), st.vel_space.zeros(),
+                                      DoFType.ALL, st._vel_sd)
+             for d in range(2)]
+    b = TaylorHoodVec(
+        tuple(st.vel_space.restore_rows(mass.apply_raw(f),
+                                        st.vel_space.zeros(), FLAG_INNER,
+                                        st._vel_sd) for f in fvals),
+        st.pre_space.zeros(),
+    )
+    x = st.zeros()
+    cyc = jax.jit(lambda x, b: gmg.cycle(x, b))
+    r0 = float(st.norm(b - st.apply_inner(x)))
+    norms = [r0]
+    for _ in range(6):
+        x = cyc(x, b)
+        norms.append(float(st.norm(b - st.apply_inner(x))))
+    # Uzawa-GMG: sustained reduction per cycle
+    assert norms[-1] < 0.02 * norms[0], norms
+    rates = [norms[i + 1] / max(norms[i], 1e-30) for i in range(6)]
+    assert min(rates) < 0.6, rates
