@@ -325,6 +325,15 @@ class P1Space:
     def dof_sum(self, u, flag: DoFType = DoFType.ALL, sd=None, axis_name=None):
         return self.dot(u, jnp.ones_like(u), flag, sd, axis_name)
 
+    def unique_weight(self, sd=None) -> jnp.ndarray:
+        """(C, N...) weights so that sum(w * u) counts every global DoF once
+        (interior: 1; interface replicas: 1/multiplicity; padding: 0).
+        Used by histogram-style reductions (e.g. radial profiles)."""
+        sd = self.resolve_sd(sd)
+        w = self._interior_weight(sd).reshape(-1)
+        w = w.at[sd.slot_flat].set(sd.slot_inv_mult, mode="drop")
+        return w.reshape(self.block_shape)
+
     def dof_max(self, u, flag: DoFType = DoFType.ALL, sd=None, axis_name=None):
         sd = self.resolve_sd(sd)
         neg = jnp.asarray(-jnp.inf, dtype=u.dtype)
@@ -390,8 +399,14 @@ class P1Space:
             vals = expr(self.coords_from(sd.cell_vertices))
             vals = jnp.asarray(vals, dtype=self.dtype)
             # replicas may differ in the last ulp (each cell evaluates at its
-            # own affine image of the point) -> force owner's value
-            vals = self.exchange_rep(vals, sd, axis_name)
+            # own affine image of the point) -> force owner's value. This is
+            # only correct when every replica of a DoF is visible: single
+            # shard, or inside shard_map (axis_name set). A lone shard of a
+            # multi-shard storage must NOT rep-sync — gids whose representative
+            # lives on another shard would read a zero segment-sum and zero
+            # out the local replicas.
+            if axis_name is not None or self.storage.num_shards == 1:
+                vals = self.exchange_rep(vals, sd, axis_name)
         else:
             vals = jnp.full(self.block_shape, expr, dtype=self.dtype)
         vals = vals * jnp.asarray(self.vertex_mask[None], dtype=self.dtype)

@@ -38,10 +38,13 @@ def device_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _sd_specs() -> P1ShardData:
-    """in_specs pytree for stacked shard data (leading device axis)."""
+def _sd_specs(bc: BoundaryCondition | None = None) -> P1ShardData:
+    """in_specs pytree for stacked shard data (leading device axis).
+
+    The aux metadata (bc) must match the actual shard-data pytree exactly —
+    shard_map compares treedefs including static fields."""
     spec = P(AXIS)
-    return P1ShardData(*([spec] * 7))
+    return P1ShardData(*([spec] * 7), bc=bc)
 
 
 def _squeeze_sd(sd: P1ShardData) -> P1ShardData:
@@ -89,7 +92,7 @@ class SpmdContext:
                 return fn(*xs, *sd_local)
 
             specs_in = tuple([P(AXIS)] * n_array_args) + tuple(
-                _sd_specs() for _ in sds
+                _sd_specs(s.bc) for s in sds
             )
             return shard_map(
                 body, mesh=self.mesh, in_specs=specs_in, out_specs=out_spec,
