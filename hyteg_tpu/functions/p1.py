@@ -239,6 +239,38 @@ class P1Space:
             )
         return self._sd_cache[key]
 
+    def global_shard_data(self, bc: BoundaryCondition) -> P1ShardData:
+        """Single-device view of the WHOLE multi-shard storage: slot maps
+        re-based onto the all-gathered (C_total, N...) block. This is the
+        agglomeration analog (reference: AgglomerationWrapper.hpp:75) — the
+        coarse level is gathered and solved redundantly on every device,
+        which on TPU beats a rank-subset solve (compute is cheap, the gather
+        is one ICI collective, and the solve itself needs no communication).
+        """
+        key = ("global", bc)
+        if key not in self._sd_cache:
+            m = self.maps
+            D = m.slot_flat.shape[0]
+            blk = self.C_loc * self.N ** self.dim
+            pad = m.slot_gid == m.num_ifc
+            flat = m.slot_flat.astype(np.int64) + (
+                np.arange(D, dtype=np.int64)[:, None] * blk)
+            flat[pad] = D * blk  # global OOB
+            self._sd_cache[key] = P1ShardData(
+                slot_flat=jnp.asarray(flat.reshape(-1), dtype=jnp.int32),
+                slot_gid=jnp.asarray(m.slot_gid.reshape(-1)),
+                slot_rep=jnp.asarray(self.slot_rep_mask.reshape(-1)),
+                slot_inv_mult=jnp.asarray(
+                    self.slot_inv_mult.reshape(-1), dtype=self.dtype),
+                slot_doftype=jnp.asarray(
+                    self.slot_doftype_np(bc).reshape(-1)),
+                cell_valid=jnp.asarray(self.storage.cell_valid),
+                cell_vertices=jnp.asarray(self.storage.cell_vertices,
+                                          dtype=self.dtype),
+                bc=bc,
+            )
+        return self._sd_cache[key]
+
     def stacked_shard_data(self, bc: BoundaryCondition):
         """All-shard (D, ...) numpy pytree for feeding shard_map."""
         m = self.maps

@@ -102,6 +102,40 @@ class SpmdContext:
         return wrapped
 
 
+def build_agglomerated_coarse_solve(ctx: SpmdContext, level: int, form,
+                                    coarse_iters: int = 100):
+    """Coarse solve for the SPMD V-cycle in the agglomeration style
+    (reference: solvers/controlflow/AgglomerationWrapper.hpp:75 gathers the
+    coarse level onto a rank subset): all-gather the coarse DoF blocks over
+    the mesh axis, run CG on the full (small) coarse system redundantly on
+    every device with zero communication, slice the local shard back out.
+    """
+    from ..operators.p1_elementwise import P1ElementwiseOperator, compute_elmats
+    from ..solvers.krylov import cg_solve_fixed
+
+    sp = ctx.space(level)
+    gsd = sp.global_shard_data(ctx.bc)
+    elmats = compute_elmats(sp, form, gsd.cell_vertices)
+    op = P1ElementwiseOperator(sp, form, elmats=elmats)
+
+    def apply_fn(v):
+        return op.apply_inner(v, gsd, FLAG_INNER)
+
+    def dot_fn(u, v):
+        return sp.dot(u, v, FLAG_INNER, gsd)
+
+    C_loc = ctx.storage.cells_per_shard
+
+    def coarse_solve(b_local, x_local):
+        xg = jax.lax.all_gather(x_local, AXIS, axis=0, tiled=True)
+        bg = jax.lax.all_gather(b_local, AXIS, axis=0, tiled=True)
+        xg = cg_solve_fixed(apply_fn, dot_fn, bg, xg, coarse_iters)
+        i = jax.lax.axis_index(AXIS)
+        return jax.lax.dynamic_slice_in_dim(xg, i * C_loc, C_loc, 0)
+
+    return coarse_solve
+
+
 def build_spmd_poisson_vcycle(
     ctx: SpmdContext,
     min_level: int,
@@ -109,25 +143,31 @@ def build_spmd_poisson_vcycle(
     form=None,
     smoother: str = "chebyshev",
     eigs: dict[int, float] | None = None,
+    agglomerate_coarse: bool = False,
     **gmg_kwargs,
 ):
     """Returns jitted (x, b) -> x running one V-cycle, fully sharded.
 
     The GMG stack (element matrices, diagonals, spectral estimates) is built
     inside the trace from the sharded maps, so one jit covers setup + cycle.
+    With ``agglomerate_coarse``, the coarse level is all-gathered and solved
+    redundantly on every device (see build_agglomerated_coarse_solve).
     """
     from ..operators import forms as _forms
     from ..solvers.templates import make_p1_gmg
 
     form = form or _forms.laplace_form
     levels = list(range(min_level, max_level + 1))
+    coarse_fn = (build_agglomerated_coarse_solve(
+        ctx, min_level, form, gmg_kwargs.get("coarse_iters", 100))
+        if agglomerate_coarse else None)
 
     def step(x, b, *sd_local):
         sd_per_level = dict(zip(levels, sd_local))
         stack = make_p1_gmg(
             ctx.storage, min_level, max_level, form=form, bc=ctx.bc,
             smoother=smoother, axis_name=AXIS, sd_per_level=sd_per_level,
-            eigs=eigs, **gmg_kwargs,
+            eigs=eigs, coarse_solve_fn=coarse_fn, **gmg_kwargs,
         )
         return stack.gmg.cycle(x, b)
 

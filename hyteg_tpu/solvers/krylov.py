@@ -149,21 +149,30 @@ def cg_solve_fixed(
     x0: jnp.ndarray,
     num_iter: int,
 ) -> jnp.ndarray:
-    """Fixed-iteration CG via fori_loop (cheap-to-compile coarse solver)."""
+    """Fixed-iteration CG via fori_loop (cheap-to-compile coarse solver).
+
+    Updates freeze once the residual has dropped ~to round-off relative to
+    the initial residual: continuing fixed iterations past (float32)
+    convergence would otherwise amplify rounding noise through the search
+    direction (beta ~ ratio of noise) and destroy the coarse correction."""
     r0 = b - apply_fn(x0)
     rr0 = dot_fn(r0, r0)
+    # attainable float accuracy: |r|/|r0| ~ O(eps); below that only noise
+    eps = jnp.finfo(rr0.dtype).eps
+    tol2 = (64.0 * eps) ** 2 * rr0
 
     def body(_, state):
         x, r, p, rr = state
+        active = rr > tol2
         ap = apply_fn(p)
         pap = dot_fn(p, ap)
-        safe_pap = jnp.where(pap <= 0, 1.0, pap)
-        alpha = jnp.where(pap <= 0, 0.0, rr / safe_pap)
+        ok = active & (pap > 0)
+        alpha = jnp.where(ok, rr / jnp.where(pap <= 0, 1.0, pap), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        rr_new = dot_fn(r, r)
-        beta = jnp.where(rr == 0, 0.0, rr_new / jnp.where(rr == 0, 1.0, rr))
-        p = r + beta * p
+        rr_new = jnp.where(ok, dot_fn(r, r), rr)
+        beta = jnp.where(ok, rr_new / jnp.where(rr == 0, 1.0, rr), 0.0)
+        p = jnp.where(ok, r + beta * p, p)
         return x, r, p, rr_new
 
     x, _, _, _ = jax.lax.fori_loop(0, num_iter, body, (x0, r0, r0, rr0))

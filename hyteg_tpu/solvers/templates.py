@@ -76,6 +76,7 @@ def make_p1_gmg(
     eigs: dict[int, float] | None = None,
     dtype=jnp.float32,
     space_kind: str = "p1",
+    coarse_solve_fn=None,
 ) -> P1GMGStack:
     """GMG stack for a scalar P1 operator (reference pattern:
     tutorials/FA.01_GeometricMultigrid + GeometricMultigridSolver.hpp:39).
@@ -160,7 +161,17 @@ def make_p1_gmg(
         return smooth
 
     def make_restrict(l):  # fine level l -> l-1
-        return lambda r: transfers[l].restrict(r, sds[l], sds[l - 1], axis_name)
+        sp_c = spaces[l - 1]
+
+        def restrict(r):
+            rc = transfers[l].restrict(r, sds[l], sds[l - 1], axis_name)
+            # rows outside the solved flag (Dirichlet/padding) must carry no
+            # residual: the coarse apply zeroes them, and a CG coarse solve
+            # on an rhs outside range(A) diverges (search directions grow
+            # unboundedly until overflow)
+            return sp_c.restore_rows(rc, jnp.zeros_like(rc), flag, sds[l - 1])
+
+        return restrict
 
     def make_prolongate_add(l):
         sp = spaces[l]
@@ -183,6 +194,8 @@ def make_p1_gmg(
         )
 
     def coarse_solve(b, x0):
+        if coarse_solve_fn is not None:
+            return coarse_solve_fn(b, x0)
         return cg_solve_fixed(applies[min_level], dots[min_level], b, x0, coarse_iters)
 
     gmg = GeometricMultigridSolver(

@@ -80,3 +80,35 @@ def test_sharded_apply_matches_single_device():
             for gid, val in zip(ids4[c][sel].ravel(), y4d[c][sel].ravel()):
                 np.testing.assert_allclose(val, g1[int(gid)], rtol=2e-4,
                                            atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_agglomerated_coarse_solve_matches():
+    """SPMD V-cycle with the redundant gathered coarse solve (the
+    AgglomerationWrapper analog) agrees with the per-shard-map coarse CG."""
+    mesh_info = mi.mesh_unit_cube(1)
+    devs = jax.devices()[:4]
+    dmesh = spmd.device_mesh(devs)
+    st = CellStorage(mesh_info, num_shards=4)
+    bc = BoundaryCondition.all_dirichlet()
+    ctx = spmd.SpmdContext(st, dmesh, bc)
+    v_plain = spmd.build_spmd_poisson_vcycle(ctx, 0, 2, coarse_iters=40)
+    v_aggl = spmd.build_spmd_poisson_vcycle(ctx, 0, 2, coarse_iters=40,
+                                            agglomerate_coarse=True)
+    sp = ctx.space(2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = []
+    for d in range(4):
+        sd = sp.shard_data(d, bc)
+        xs.append(np.asarray(sp.interpolate(
+            lambda p: p[..., 0] * p[..., 1] + p[..., 2], sp.zeros(),
+            DoFType.ALL, sd)))
+    x0 = jax.device_put(jnp.concatenate([jnp.asarray(a) for a in xs]),
+                        NamedSharding(dmesh, P(spmd.AXIS)))
+    b = ctx.global_zeros(2)
+    xa = np.asarray(v_plain(x0, b))
+    xb = np.asarray(v_aggl(x0, b))
+    assert np.isfinite(xa).all() and np.isfinite(xb).all()
+    scale = np.abs(xa).max() + 1e-12
+    assert np.abs(xa - xb).max() / scale < 2e-3
