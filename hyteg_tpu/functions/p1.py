@@ -209,6 +209,7 @@ class P1Space:
             and axis_name is None
             and self.storage.num_shards == 1
             and sd.bc is not None
+            and self.dtype == jnp.float32  # DenseIfc constants are f32
             and not isinstance(sd.slot_flat, jax.core.Tracer)
             and self.dense_ifc is not None
         )
