@@ -117,13 +117,21 @@ class CellStorage:
     shard sizes) are marked in ``cell_valid``.
     """
 
-    def __init__(self, mesh: MeshInfo, num_shards: int = 1, partitioner: str = "round_robin"):
+    def __init__(self, mesh: MeshInfo, num_shards: int = 1,
+                 partitioner: str = "round_robin",
+                 assignment: np.ndarray | None = None):
         self.topo: MacroTopology = build_topology(mesh)
+        self.mesh = mesh
         self.dim = mesh.dim
         self.num_shards = num_shards
 
         C_real = self.topo.num_cells
-        assignment = self._partition(C_real, num_shards, partitioner)
+        if assignment is None:
+            assignment = self._partition(C_real, num_shards, partitioner)
+        else:
+            assignment = np.asarray(assignment, dtype=np.int64)
+            assert assignment.shape == (C_real,)
+            assert assignment.min() >= 0 and assignment.max() < num_shards
         order = np.argsort(assignment, kind="stable")
         counts = np.bincount(assignment, minlength=num_shards)
         C_loc = int(counts.max())
