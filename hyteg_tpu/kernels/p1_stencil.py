@@ -31,6 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ..indexing import micro
 
 
+def _phys_bytes(shape, itemsize: int = 4) -> int:
+    """Physical VMEM footprint of an array: (8, 128)-tiled f32 layout."""
+    sub = -(-shape[-2] // 8) * 8 if len(shape) >= 2 else 8
+    lane = -(-shape[-1] // 128) * 128
+    lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    return lead * sub * lane * itemsize
+
+
+def _compiler_params(block_shape, n_arrays: int = 40):
+    """Raise the Mosaic VMEM budget above the 16 MB default scoped limit.
+
+    The apply kernels keep up to ~25 block-sized arrays live (shared rolls +
+    masks + accumulators); v5e/v5p cores have 128 MB of VMEM, so the default
+    16 MB scoped limit is far too conservative and fails at level >= 6
+    (N = 65: ~1.2 MB per array). Budget n_arrays blocks, capped at 100 MB.
+    """
+    per = _phys_bytes(block_shape)
+    budget = min(100 * 1024 * 1024, max(32 * 1024 * 1024, n_arrays * per))
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), vmem_limit_bytes=budget
+    )
+
+
 def _roll3(v, off):
     """v shifted so that out[p] = v[p + off] (off in {0,1}^3), wrap garbage
     left in place (masked by the caller). pltpu.roll needs non-negative
@@ -133,6 +156,7 @@ def p1_apply_local_pallas(src, elmats, level: int, dim: int, coeff=None):
             bytes_accessed=C * bytes_per * (3 if coeff is not None else 2),
             transcendentals=0,
         ),
+        compiler_params=_compiler_params(blk),
     )(elm_flat, *args)
 
 
@@ -200,6 +224,7 @@ def p1_diagonal_local_pallas(elmats, level: int, dim: int, lumped: bool = False,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C,) + (N,) * dim, elmats.dtype),
+        compiler_params=_compiler_params(blk),
     )(elm_flat, *args)
 
 
@@ -307,6 +332,7 @@ def p1_apply_local_pallas_flat(src2d, elmats, level: int, dim: int, coeff=None):
             bytes_accessed=C * 4 * N * NN * (3 if coeff is not None else 2),
             transcendentals=0,
         ),
+        compiler_params=_compiler_params(blk),
     )(elm_flat, *args)
 
 
@@ -409,9 +435,10 @@ def p1_apply_local_pallas_flat_v2(src2d, elmats, level: int, dim: int, coeff=Non
     n = 1 << level
     N = n + 1
     NN = N * N if dim == 3 else N
-    # share rolls when ~14 live arrays fit in VMEM
-    phys = 4 * ((N + 7) // 8 * 8) * ((NN + 127) // 128 * 128)
-    share = phys * 16 < 14 * 1024 * 1024
+    # share rolls when ~26 live arrays (8 read + 8 write rolls, 6 masks,
+    # src/dst/acc) fit in the raised VMEM budget (see _compiler_params)
+    phys = _phys_bytes((N, NN))
+    share = phys * 26 < 90 * 1024 * 1024
     kernel, N, NN, T, nv = _make_kernel_flat_v2(level, dim, coeff is not None, share)
     elm_flat = elmats.reshape(C, T * nv * nv).astype(src2d.dtype)
     yzsum = (
@@ -442,6 +469,7 @@ def p1_apply_local_pallas_flat_v2(src2d, elmats, level: int, dim: int, coeff=Non
             bytes_accessed=C * 4 * N * NN * (3 if coeff is not None else 2),
             transcendentals=0,
         ),
+        compiler_params=_compiler_params(blk),
     )(elm_flat, *args)
 
 
