@@ -34,6 +34,10 @@ def macro_gradient_indicator(p1_space, u, sd=None) -> np.ndarray:
     h = det ** (1.0 / dim)
 
     u = np.asarray(u)
+    if dim == 3:  # flat (C, N, lanes) -> grid (C, N, N, N) for host slicing
+        from ..indexing import flat
+
+        u = flat.unflatten_field(u, sp.N, sp.pitch)
     eta2 = np.zeros(u.shape[0])
     for t in range(T):
         # element-local vertex reads (strided views of the node grid)

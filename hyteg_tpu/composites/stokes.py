@@ -62,13 +62,19 @@ class P2P1TaylorHoodStokes:
     """Spaces + operators + BC handling for the Stokes system."""
 
     def __init__(self, storage, level: int, bc: BoundaryCondition | None = None,
-                 viscosity: float = 1.0, shard: int = 0):
+                 viscosity: float = 1.0, shard: int = 0,
+                 pitch: int | None = None):
         self.storage = storage
         self.level = level
         self.dim = storage.dim
         self.bc = bc or BoundaryCondition.all_dirichlet()
-        self.vel_space = P2Space(storage, level)
-        self.pre_space = P1Space(storage, level)
+        # velocity node grid and pressure vertex grid share one lane pitch
+        # so the mixed operators are pure strided slicing (see mixed.py);
+        # multi-level (GMG) stacks pass the max-level pitch explicitly
+        pitch = ((1 << (level + 1)) + 1) if pitch is None else pitch
+        self.pitch = pitch
+        self.vel_space = P2Space(storage, level, pitch=pitch)
+        self.pre_space = P1Space(storage, level, pitch=pitch)
         self.shard = shard
         self.visc = viscosity
         self.K = P2ElementwiseOperator(self.vel_space, "laplace", shard)

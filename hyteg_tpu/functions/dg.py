@@ -76,6 +76,10 @@ def p1_to_dg1(p1_space, u_p1, dg: DG1Space) -> jnp.ndarray:
     vertex value = P1 value at that micro-vertex."""
     assert dg.level == p1_space.level
     dim, n = dg.dim, dg.n
+    if dim == 3:  # grid view of the flat P1 block (cold conversion path)
+        from ..indexing import flat
+
+        u_p1 = flat.to_grid(u_p1, p1_space.N, p1_space.pitch)[..., : p1_space.N]
     offs = micro.offsets(dim)
     parts = []
     for t in range(dg.T):

@@ -64,7 +64,7 @@ class EdgeDoFSpace:
 
     @functools.cached_property
     def orientation_masks(self) -> np.ndarray:
-        """(P, M...) bool — one mask per edge orientation (parity class)."""
+        """(P, M, lanes) bool — one mask per edge orientation (parity class)."""
         pars = parities(self.dim)
         grids = np.meshgrid(*([np.arange(self.M)] * self.dim), indexing="ij")
         vm = self.node_space.vertex_mask
@@ -73,6 +73,10 @@ class EdgeDoFSpace:
             m = np.ones_like(grids[0], dtype=bool)
             for g, pi in zip(grids, p):
                 m &= g % 2 == int(pi)
+            if self.dim == 3:
+                from ..indexing import flat
+
+                m = flat.flatten_field(m, self.node_space.pitch)
             out.append(m & vm)
         return np.stack(out)
 

@@ -56,7 +56,7 @@ class FieldEvaluator:
     """
 
     def __init__(self, storage: CellStorage, level: int, degree: int = 1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, pitch: int | None = None):
         self.storage = storage
         self.level = level
         self.degree = degree
@@ -64,6 +64,8 @@ class FieldEvaluator:
         self.n = n = 1 << level
         # node grid: P1 -> level grid; P2 -> doubled (level+1) grid
         self.N = (2 * n + 1) if degree == 2 else (n + 1)
+        # lane pitch of the flat 3D block layout (see indexing/flat.py)
+        self.pitch = self.N if (pitch is None or dim == 2) else int(pitch)
         self.dtype = dtype
 
         verts = np.asarray(storage.cell_vertices, dtype=np.float64)[..., :dim]
@@ -129,16 +131,21 @@ class FieldEvaluator:
     # -- stage 3: basis evaluation + gather -----------------------------------
 
     def _gather(self, u: jnp.ndarray, c: jnp.ndarray, node_idx: jnp.ndarray):
-        """u (..., C, N^dim nodes), node_idx (Q, nn, dim) int -> (..., Q, nn)."""
-        N = self.N
-        flat = node_idx[..., 0]
-        for d in range(1, self.dim):
-            flat = flat * N + node_idx[..., d]
-        nf = N ** self.dim
+        """u (..., C, N, lanes) flat blocks, node_idx (Q, nn, dim) int ->
+        (..., Q, nn)."""
+        N, P = self.N, self.pitch
+        if self.dim == 2:
+            lanes = N
+            flat = node_idx[..., 0] * N + node_idx[..., 1]
+        else:
+            lanes = N * P
+            flat = (node_idx[..., 0] * lanes + node_idx[..., 1] * P
+                    + node_idx[..., 2])
+        nf = N * lanes
         gidx = c[:, None] * nf + flat                  # (Q, nn)
-        u2 = u.reshape(u.shape[: -1 - self.dim] + (-1,))
+        u2 = u.reshape(u.shape[:-3] + (-1,))
         return jnp.take(u2, gidx.reshape(-1), axis=-1).reshape(
-            u.shape[: -1 - self.dim] + gidx.shape
+            u.shape[:-3] + gidx.shape
         )
 
     def evaluate(self, u: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:

@@ -169,11 +169,17 @@ def _line_interior_mask(N: int):
 
 @dataclasses.dataclass
 class DenseIfc:
-    """Per-(storage, level) compiled dense exchange (single shard)."""
+    """Per-(storage, level) compiled dense exchange (single shard).
+
+    Operates on the canonical flat block layout (C, N, N*pitch) in 3D
+    (lane = y*pitch + z; see indexing/flat.py) and (C, N, N) in 2D.
+    Faces/edges are extracted into their 2D/1D parametrizations by lane
+    slicing and one-hot contractions (dense VPU/MXU work, no gathers)."""
 
     N: int
     dim: int
     C: int
+    pitch: int
     # 3D faces (C*4 rows)
     face_perm_id: np.ndarray | None    # (C*4,) int in [0, 6)
     face_macro: np.ndarray | None      # (C*4,) macro-face row id
@@ -194,83 +200,189 @@ class DenseIfc:
     perms: tuple                       # ordered list of the 6 permutations
 
     # ------------------------------------------------------------------
-    # extraction
+    # static one-hot helpers (flat 3D layout)
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _yz(self):
+        """(y_of_lane, z_of_lane) for the flat lane axis."""
+        N, P = self.N, self.pitch
+        l = np.arange(N * P)
+        return l // P, l % P
+
+    @functools.cached_property
+    def _OH_diag(self) -> np.ndarray:
+        """(N, L) one-hot: x == n - y - z on valid lanes (diagonal face)."""
+        n = self.N - 1
+        y, z = self._yz
+        x = np.arange(self.N)
+        return ((x[:, None] == n - y - z) & (z < self.N)).astype(np.float32)
+
+    @functools.cached_property
+    def _OH_e23(self) -> np.ndarray:
+        """(L, N) one-hot: lane == (n - t)*pitch + t (the x=0 diagonal edge)."""
+        n = self.N - 1
+        y, z = self._yz
+        t = np.arange(self.N)
+        return ((y[:, None] == n - t) & (z[:, None] == t)).astype(np.float32)
+
+    @functools.cached_property
+    def _OH_z0(self) -> np.ndarray:
+        """(L, N) one-hot: lane == y * pitch (the z = 0 plane), col y."""
+        y, z = self._yz
+        col = np.arange(self.N)
+        return ((z[:, None] == 0) & (y[:, None] == col)).astype(np.float32)
+
+    @functools.cached_property
+    def _M_bnd(self) -> np.ndarray:
+        """(N, L) float: 1 on every tet-boundary node (valid lanes only)."""
+        n = self.N - 1
+        y, z = self._yz
+        x = np.arange(self.N)[:, None]
+        s = x + y[None] + z[None]
+        valid = (z[None] < self.N) & (s <= n)
+        bnd = (x == 0) | (y[None] == 0) | (z[None] == 0) | (s == n)
+        return (valid & bnd).astype(np.float32)
+
+    def _lane_grid(self, a):
+        """(..., L) -> (..., N, N): split lanes to (y, z<N)."""
+        g = a.reshape(a.shape[:-1] + (self.N, self.pitch))
+        return g[..., : self.N]
+
+    def _grid_lane(self, f):
+        """(..., N, N) -> (..., L): zero-pad z to pitch and flatten."""
+        pad = [(0, 0)] * (f.ndim - 1) + [(0, self.pitch - self.N)]
+        g = jnp.pad(f, pad)
+        return g.reshape(f.shape[:-2] + (self.N * self.pitch,))
+
+    # ------------------------------------------------------------------
+    # extraction (lane slices + one-hot contractions; no strided-lane ops)
     # ------------------------------------------------------------------
 
     def extract_faces(self, u) -> jnp.ndarray:
         """(C, 4, N, N) face arrays, convention face[p, q] <-> weights
         (n-p-q, p, q) over the ordered local vertex triple."""
-        W = jnp.asarray(self.shear_W)
-        f0 = jnp.einsum("cxpq,xpq->cpq", u, W)      # diagonal x+y+z=n
-        f1 = u[:, 0, :, :]
-        f2 = u[:, :, 0, :]
-        f3 = u[:, :, :, 0]
+        P = self.pitch
+        f0 = self._lane_grid(
+            jnp.einsum("cxl,xl->cl", u, jnp.asarray(self._OH_diag))
+        )  # diagonal x+y+z=n, params (y, z)
+        f1 = self._lane_grid(u[:, 0, :])          # x=0, params (y, z)
+        f2 = u[:, :, :P][..., : self.N]           # y=0, params (x, z)
+        f3 = jnp.einsum("cxl,ly->cxy", u, jnp.asarray(self._OH_z0))  # z=0
         return jnp.stack([f0, f1, f2, f3], axis=1)
 
-    def write_faces(self, u, faces) -> jnp.ndarray:
-        """Write face arrays back into the blocks (valid triangle only)."""
-        valid, _ = _tri_masks(self.N)
-        vm = jnp.asarray(valid)
-        W = jnp.asarray(self.shear_W)  # W[x, p, q] = 1 iff x = n-p-q
-        f0, f1, f2, f3 = faces[:, 0], faces[:, 1], faces[:, 2], faces[:, 3]
-        u = u.at[:, 0, :, :].set(jnp.where(vm, f1, u[:, 0, :, :]))
-        u = u.at[:, :, 0, :].set(jnp.where(vm, f2, u[:, :, 0, :]))
-        u = u.at[:, :, :, 0].set(jnp.where(vm, f3, u[:, :, :, 0]))
-        Hd = W[None]  # (1, x, p, q)
-        u = u * (1 - Hd) + Hd * f0[:, None, :, :]
-        return u
-
-    def extract_edges(self, u) -> jnp.ndarray:
+    def extract_edges(self, u, faces=None) -> jnp.ndarray:
         """(C, E_loc, N) edge lines, parametrized by the weight of the
         *second* local vertex of the edge."""
         W = jnp.asarray(self.shear_W)
+        OH = W[:, :, 0]  # OH[x, t] = 1 iff x = n - t
         if self.dim == 3:
-            e01 = u[:, :, 0, 0]
-            e02 = u[:, 0, :, 0]
-            e03 = u[:, 0, 0, :]
-            # diagonal lines via the 2D one-hot: line[t] = plane[n-t, t]
-            OH = W[:, :, 0]  # OH[x, t] = 1 iff x = n - t
-            e12 = jnp.einsum("cxt,xt->ct", u[:, :, :, 0], OH)
-            e13 = jnp.einsum("cxt,xt->ct", u[:, :, 0, :], OH)
-            e23 = jnp.einsum("cxt,xt->ct", u[:, 0, :, :], OH)
+            if faces is None:
+                faces = self.extract_faces(u)
+            f2, f3 = faces[:, 2], faces[:, 3]
+            row0 = u[:, 0, :]
+            e01 = u[:, :, 0]
+            e02 = f3[:, 0, :]
+            e03 = row0[:, : self.N]
+            # diagonal lines: line[t] = plane[n-t, t]
+            e12 = jnp.einsum("cxt,xt->ct", f3, OH)
+            e13 = jnp.einsum("cxt,xt->ct", f2, OH)
+            e23 = jnp.einsum("cl,lt->ct", row0, jnp.asarray(self._OH_e23))
             return jnp.stack([e01, e02, e03, e12, e13, e23], axis=1)
         # 2D: cell "edges" are the 3 triangle sides; order (1,2),(0,1),(0,2)
-        OH = W[:, :, 0]
         e12 = jnp.einsum("cxt,xt->ct", u, OH)  # diagonal x+y=n
         e01 = u[:, :, 0]
         e02 = u[:, 0, :]
         return jnp.stack([e12, e01, e02], axis=1)
 
-    def write_edges(self, u, edges) -> jnp.ndarray:
-        W = jnp.asarray(self.shear_W)
+    def _vert_pos_flat(self):
+        n = self.N - 1
         if self.dim == 3:
-            e01, e02, e03, e12, e13, e23 = [edges[:, k] for k in range(6)]
-            u = u.at[:, :, 0, 0].set(e01)
-            u = u.at[:, 0, :, 0].set(e02)
-            u = u.at[:, 0, 0, :].set(e03)
-            OH = W[:, :, 0]  # (x, t)
-            pl = u[:, :, :, 0]
-            u = u.at[:, :, :, 0].set(pl * (1 - OH[None]) + OH[None] * e12[:, None, :])
-            pl = u[:, :, 0, :]
-            u = u.at[:, :, 0, :].set(pl * (1 - OH[None]) + OH[None] * e13[:, None, :])
-            pl = u[:, 0, :, :]
-            u = u.at[:, 0, :, :].set(pl * (1 - OH[None]) + OH[None] * e23[:, None, :])
-            return u
-        e12, e01, e02 = edges[:, 0], edges[:, 1], edges[:, 2]
-        OH = W[:, :, 0]
-        u = u * (1 - OH[None]) + OH[None] * e12[:, None, :]
-        u = u.at[:, :, 0].set(e01)
-        u = u.at[:, 0, :].set(e02)
-        return u
+            P = self.pitch
+            return [(0, 0), (n, 0), (0, n * P), (0, n)]
+        return _VERT_POS_2D(n)
 
     def extract_verts(self, u) -> jnp.ndarray:
-        n = self.N - 1
-        pos = _VERT_POS_3D(n) if self.dim == 3 else _VERT_POS_2D(n)
+        pos = self._vert_pos_flat()
         return jnp.stack([u[(slice(None),) + p] for p in pos], axis=1)
 
+    # ------------------------------------------------------------------
+    # write-back: ONE fused read-modify-write pass over the block. The
+    # tet boundary decomposes into four disjoint deliveries (x=0 plane;
+    # y=0 minus x=0; z=0 minus x=0, y=0; diag interior), each assembled
+    # in its small extracted parametrization with the dimension-ordered
+    # overwrite (faces -> edges -> verts) applied there, then expanded by
+    # pads / one-hot contractions — no dynamic-update-slice, no strided
+    # lane ops (reference ordering: BufferedCommunication.hpp:119).
+    # ------------------------------------------------------------------
+
+    def write_all(self, u, faces, edges, verts) -> jnp.ndarray:
+        N, P = self.N, self.pitch
+        n = N - 1
+        valid, _ = _tri_masks(N)
+        if self.dim == 2:
+            W = jnp.asarray(self.shear_W)
+            OH = W[:, :, 0]
+            e12, e01, e02 = edges[:, 0], edges[:, 1], edges[:, 2]
+            u = u * (1 - OH[None]) + OH[None] * e12[:, None, :]
+            u = u.at[:, :, 0].set(e01)
+            u = u.at[:, 0, :].set(e02)
+            return self.write_verts(u, verts)
+
+        W = jnp.asarray(self.shear_W)
+        OH = W[:, :, 0]  # (p, t): 1 iff p = n - t
+        vm = jnp.asarray(valid, dtype=u.dtype)
+        f0, f1, f2, f3 = faces[:, 0], faces[:, 1], faces[:, 2], faces[:, 3]
+        e01, e02, e03, e12, e13, e23 = [edges[:, k] for k in range(6)]
+        v0, v1, v2, v3 = [verts[:, k] for k in range(4)]
+
+        # x = 0 plane, params (y, z): face f1, edges e02/e03/e23, verts 0/2/3
+        p0 = f1
+        p0 = p0.at[:, 0, :].set(e03)
+        p0 = p0.at[:, :, 0].set(e02)
+        p0 = p0 * (1 - OH[None]) + OH[None] * e23[:, None, :]
+        p0 = p0.at[:, 0, 0].set(v0)
+        p0 = p0.at[:, n, 0].set(v2)
+        p0 = p0.at[:, 0, n].set(v3)
+        p0 = p0 * vm
+
+        # y = 0 plane minus the x = 0 row, params (x, z)
+        p2 = f2
+        p2 = p2.at[:, :, 0].set(e01)
+        p2 = p2 * (1 - OH[None]) + OH[None] * e13[:, None, :]
+        p2 = p2.at[:, n, 0].set(v1)
+        p2 = p2.at[:, 0, :].set(0.0)
+        p2 = p2 * vm
+
+        # z = 0 plane minus x = 0 / y = 0 borders, params (x, y)
+        p3 = f3 * (1 - OH[None]) + OH[None] * e12[:, None, :]
+        p3 = p3.at[:, 0, :].set(0.0)
+        p3 = p3.at[:, :, 0].set(0.0)
+        p3 = p3 * vm
+
+        # diagonal face interior only, params (y, z)
+        _, tri_int = _tri_masks(N)
+        d0 = f0 * jnp.asarray(tri_int, dtype=u.dtype)
+
+        X0 = jnp.pad(self._grid_lane(p0)[:, None, :], [(0, 0), (0, N - 1), (0, 0)])
+        X2 = jnp.pad(p2, [(0, 0), (0, 0), (0, (N * P) - N)])
+        X3 = jnp.einsum("cxy,ly->cxl", p3, jnp.asarray(self._OH_z0))
+        XD = jnp.asarray(self._OH_diag)[None] * self._grid_lane(d0)[:, None, :]
+        Mb = jnp.asarray(self._M_bnd, dtype=u.dtype)[None]
+        return u * (1 - Mb) + X0 + X2 + X3 + XD
+
+    # legacy sequential write API (kept for tests / partial updates)
+
+    def write_faces(self, u, faces) -> jnp.ndarray:
+        return self.write_all(u, faces, self.extract_edges(u),
+                              self.extract_verts(u))
+
+    def write_edges(self, u, edges) -> jnp.ndarray:
+        return self.write_all(u, self.extract_faces(u), edges,
+                              self.extract_verts(u))
+
     def write_verts(self, u, verts) -> jnp.ndarray:
-        n = self.N - 1
-        pos = _VERT_POS_3D(n) if self.dim == 3 else _VERT_POS_2D(n)
+        pos = self._vert_pos_flat()
         for k, p in enumerate(pos):
             u = u.at[(slice(None),) + p].set(verts[:, k])
         return u
@@ -321,6 +433,7 @@ class DenseIfc:
     def _accumulate(self, u, combine: str) -> jnp.ndarray:
         """combine = 'add' (sum replicas) or 'rep' (representative value)."""
         dim = self.dim
+        faces_new = None
         if dim == 3:
             faces = self.extract_faces(u)
             canon = self._canon_faces(faces)  # (C*4, N, N)
@@ -334,7 +447,7 @@ class DenseIfc:
             summed = fA + fB if combine == "add" else fA
             back = jnp.take(summed, jnp.asarray(self.face_macro), axis=0)
             faces_new = self._decanon_faces(back)
-        edges = self.extract_edges(u)
+        edges = self.extract_edges(u, faces if dim == 3 else None)
         canon_e = self._canon_edges(edges)  # (R_e, N)
         if combine == "add":
             esum = jax.ops.segment_sum(
@@ -356,11 +469,7 @@ class DenseIfc:
             vsum = jnp.take(verts, jnp.asarray(self.vert_rep_row))
         vback = jnp.take(vsum, jnp.asarray(self.vert_macro)).reshape(self.C, -1)
 
-        if dim == 3:
-            u = self.write_faces(u, faces_new)
-        u = self.write_edges(u, edges_new)
-        u = self.write_verts(u, vback)
-        return u
+        return self.write_all(u, faces_new, edges_new, vback)
 
     def exchange_add(self, u) -> jnp.ndarray:
         return self._accumulate(u, "add")
@@ -414,54 +523,50 @@ class DenseIfc:
     def restore_rows(self, base, new, old, flag: DoFType, bc: BoundaryCondition):
         """Write into ``base``: interface rows get ``new`` where their
         DoFType is in ``flag`` and ``old`` elsewhere (dense, no gathers)."""
+        faces_m = None
+        fn_all = fo_all = None
         if self.dim == 3:
             fdt = self._row_doftype(self.face_flag, bc)
             frow = ((fdt & int(flag)) != 0)[self.face_macro]  # per row
             sel = jnp.asarray(frow.astype(np.float32))[:, None, None]
-            fn = self.extract_faces(new).reshape(-1, self.N, self.N)
-            fo = self.extract_faces(old).reshape(-1, self.N, self.N)
-            mixed = (fn * sel + fo * (1 - sel)).reshape(self.C, 4, self.N, self.N)
-            out = self.write_faces(base, mixed)
-        else:
-            out = base
+            fn_all = self.extract_faces(new)
+            fo_all = self.extract_faces(old)
+            fn = fn_all.reshape(-1, self.N, self.N)
+            fo = fo_all.reshape(-1, self.N, self.N)
+            faces_m = (fn * sel + fo * (1 - sel)).reshape(
+                self.C, 4, self.N, self.N)
         edt = self._row_doftype(self.edge_flag, bc)
         erow = ((edt & int(flag)) != 0)[self.edge_macro]
         sel = jnp.asarray(erow.astype(np.float32))[:, None]
-        en = self.extract_edges(new).reshape(-1, self.N)
-        eo = self.extract_edges(old).reshape(-1, self.N)
-        mixed = (en * sel + eo * (1 - sel)).reshape(self.C, -1, self.N)
-        out = self.write_edges(out, mixed)
+        en = self.extract_edges(new, fn_all).reshape(-1, self.N)
+        eo = self.extract_edges(old, fo_all).reshape(-1, self.N)
+        edges_m = (en * sel + eo * (1 - sel)).reshape(self.C, -1, self.N)
         vdt = self._row_doftype(self.vert_flag, bc)
         vrow = ((vdt & int(flag)) != 0)[self.vert_macro]
         sel = jnp.asarray(vrow.astype(np.float32))
         vn = self.extract_verts(new).reshape(-1)
         vo = self.extract_verts(old).reshape(-1)
-        mixed = (vn * sel + vo * (1 - sel)).reshape(self.C, -1)
-        out = self.write_verts(out, mixed)
-        return out
+        verts_m = (vn * sel + vo * (1 - sel)).reshape(self.C, -1)
+        return self.write_all(base, faces_m, edges_m, verts_m)
 
     def scale_ifc(self, u) -> jnp.ndarray:
         """Multiply every interface DoF by 1/multiplicity (restriction
-        prescale). Face interiors: 1/#members; edges/verts: 1/#cells.
-        All sub-arrays are extracted from the *original* u before any
-        write-back (face borders would otherwise be scaled twice)."""
-        faces = None
+        prescale). Face interiors: 1/#members; edges/verts: 1/#cells."""
+        faces = faces_s = None
         if self.dim == 3:
             nmem = (self.face_members >= 0).sum(axis=1)[self.face_macro]
             sel = jnp.asarray((1.0 / np.maximum(nmem, 1)).astype(np.float32))
-            faces = self.extract_faces(u).reshape(-1, self.N, self.N)
-            faces = (faces * sel[:, None, None]).reshape(self.C, 4, self.N, self.N)
+            faces = self.extract_faces(u)
+            faces_s = (faces.reshape(-1, self.N, self.N) * sel[:, None, None]
+                       ).reshape(self.C, 4, self.N, self.N)
         emult = np.bincount(self.edge_macro, minlength=self.num_macro_edges)
         es = jnp.asarray((1.0 / np.maximum(emult, 1))[self.edge_macro].astype(np.float32))
-        edges = self.extract_edges(u).reshape(-1, self.N)
+        edges = self.extract_edges(u, faces).reshape(-1, self.N)
         edges = (edges * es[:, None]).reshape(self.C, -1, self.N)
         vmult = np.bincount(self.vert_macro, minlength=self.num_macro_verts)
         vs = jnp.asarray((1.0 / np.maximum(vmult, 1))[self.vert_macro].astype(np.float32))
-        verts = self.extract_verts(u).reshape(-1) * vs
-        if faces is not None:
-            u = self.write_faces(u, faces)
-        u = self.write_edges(u, edges)
-        return self.write_verts(u, verts.reshape(self.C, -1))
+        verts = (self.extract_verts(u).reshape(-1) * vs).reshape(self.C, -1)
+        return self.write_all(u, faces_s, edges, verts)
 
 
 # ---------------------------------------------------------------------------
@@ -469,12 +574,13 @@ class DenseIfc:
 # ---------------------------------------------------------------------------
 
 
-def build_dense_ifc(storage, level: int) -> DenseIfc:
+def build_dense_ifc(storage, level: int, pitch: int | None = None) -> DenseIfc:
     """Compile the dense exchange metadata for a single-shard storage."""
     assert storage.num_shards == 1, "dense exchange is the single-shard path"
     dim = storage.dim
     n = 1 << level
     N = n + 1
+    pitch = N if (pitch is None or dim == 2) else int(pitch)
     C = storage.cells_per_shard
     topo = storage.topo
     gids = storage.cell_gids  # (C, dim+1)
@@ -546,7 +652,7 @@ def build_dense_ifc(storage, level: int) -> DenseIfc:
             seen[m] = True
 
     return DenseIfc(
-        N=N, dim=dim, C=C,
+        N=N, dim=dim, C=C, pitch=pitch,
         face_perm_id=face_perm_id,
         face_macro=face_macro,
         face_members=face_members,

@@ -117,14 +117,12 @@ def edge_tables(dim: int):
     return node_offs, par_idx, s_local
 
 
-def _shift(u: jnp.ndarray, d, dim: int) -> jnp.ndarray:
-    """out[m] = u[m + d] (zero outside), spatial axes 1..dim of u."""
-    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)] * (u.ndim - 1 - dim)
-    up = jnp.pad(u, pad)
-    M = u.shape[1]
-    sl = (slice(None),) + tuple(
-        slice(1 + int(d[i]), 1 + int(d[i]) + M) for i in range(dim))
-    return up[sl]
+def _shift(u: jnp.ndarray, d, pitch: int, dim: int) -> jnp.ndarray:
+    """out[m] = u[m + d] (zero outside) on flat blocks (C, M, lanes[, 3])."""
+    from ..indexing import flat
+
+    ncomp = u.ndim - 3
+    return flat.shift_read(u, d, pitch, dim, ncomp)
 
 
 class N1E1Space:
@@ -171,7 +169,9 @@ class N1E1Space:
 
     @functools.cached_property
     def parity_masks(self) -> np.ndarray:
-        """(P, M...) bool — odd nodes of each parity class inside the simplex."""
+        """(P, M, lanes) bool — odd nodes of each parity class in the simplex."""
+        from ..indexing import flat
+
         pars = parities(self.dim)
         grids = np.meshgrid(*([np.arange(self.M)] * self.dim), indexing="ij")
         vm = self.node_space.vertex_mask
@@ -180,6 +180,8 @@ class N1E1Space:
             m = np.ones_like(grids[0], dtype=bool)
             for g, pi in zip(grids, p):
                 m &= g % 2 == int(pi)
+            if self.dim == 3:
+                m = flat.flatten_field(m, self.node_space.pitch)
             out.append(m & vm)
         return np.stack(out)
 
@@ -241,13 +243,13 @@ class N1E1Space:
             s_pts, s_wts = [-g, g], [0.5, 0.5]
         out = jnp.zeros(self.block_shape, dtype=self.dtype)
         for k in range(self.parity_masks.shape[0]):
-            h = half[:, k].reshape((-1,) + (1,) * self.dim + (3,))
+            h = half[:, k].reshape(-1, 1, 1, 3)
             acc = 0.0
             for s, w in zip(s_pts, s_wts):
                 x = coords + (2.0 * s) * h
                 ev = jnp.asarray(expr(x), dtype=self.dtype)
                 acc = acc + w * jnp.sum(ev * (2.0 * h), axis=-1)
-            sgn = ps[:, k].reshape((-1,) + (1,) * self.dim)
+            sgn = ps[:, k].reshape(-1, 1, 1)
             m = jnp.asarray(self.parity_masks[k], dtype=self.dtype)
             out = out + sgn * acc * m[None]
         # replicas agree up to roundoff; force the representative's value
@@ -264,12 +266,13 @@ class N1E1Space:
         canonical edge values, so no exchange is needed."""
         dirs = directions(self.dim)
         ps = self.parity_signs(0)
+        pitch = self.node_space.pitch
         out = jnp.zeros_like(p)
         for k in range(dirs.shape[0]):
             d = dirs[k]
-            diff = _shift(p, d, self.dim) - _shift(p, -d, self.dim)
-            sgn = jnp.asarray(ps[:, k], dtype=p.dtype).reshape(
-                (-1,) + (1,) * self.dim)
+            diff = (_shift(p, d, pitch, self.dim)
+                    - _shift(p, -d, pitch, self.dim))
+            sgn = jnp.asarray(ps[:, k], dtype=p.dtype).reshape(-1, 1, 1)
             m = jnp.asarray(self.parity_masks[k], dtype=p.dtype)
             out = out + sgn * diff * m[None]
         return out
@@ -285,16 +288,16 @@ class N1E1Space:
         w = self.node_space.unique_weight(sd)
         dirs = directions(self.dim)
         ps = self.parity_signs(0)
+        pitch = self.node_space.pitch
         rw = r * w
         out = jnp.zeros_like(r)
         for k in range(dirs.shape[0]):
             d = dirs[k]
-            sgn = jnp.asarray(ps[:, k], dtype=r.dtype).reshape(
-                (-1,) + (1,) * self.dim)
+            sgn = jnp.asarray(ps[:, k], dtype=r.dtype).reshape(-1, 1, 1)
             m = jnp.asarray(self.parity_masks[k], dtype=r.dtype)
             v = sgn * rw * m[None]
-            out = out + _shift(v, [-x for x in d], self.dim) - _shift(
-                v, d, self.dim)
+            out = out + _shift(v, [-x for x in d], pitch, self.dim) - _shift(
+                v, d, pitch, self.dim)
         return out * jnp.asarray(self.vertexnode_mask[None], dtype=r.dtype)
 
     def function(self, bc: BoundaryCondition | None = None) -> "N1E1Function":

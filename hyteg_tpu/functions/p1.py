@@ -2,9 +2,11 @@
 
 TPU-native redesign of the reference's VertexDoFFunction
 (reference: src/hyteg/p1functionspace/VertexDoFFunction.hpp:58-486).
-DoF values live in dense masked blocks ``(C, N, N, N)`` ((C, N, N) in 2D),
-one block per macro-cell, interface DoFs replicated across adjacent cells
-(invariant: replicas equal). The halo-exchange of the reference
+DoF values live in dense masked *flat* blocks ``(C, N, N*pitch)`` in 3D
+(lane = y*pitch + z; see indexing/flat.py) and ``(C, N, N)`` in 2D, one
+block per macro-cell, interface DoFs replicated across adjacent cells
+(invariant: replicas equal; padding lanes z >= N stay zero). The
+halo-exchange of the reference
 (communicate / communicateAdditively) becomes two index-map exchanges:
 
   * ``exchange_add``  — replicas <- sum of replicas (additive communication,
@@ -62,7 +64,7 @@ class P1ShardData:
 class P1Function:
     """User-facing handle: per-cell DoF blocks + static space/BC."""
 
-    cells: jnp.ndarray  # (C_loc, N, N, N) or (C_loc, N, N)
+    cells: jnp.ndarray  # (C_loc, N, N*pitch) in 3D, (C_loc, N, N) in 2D
     space: "P1Space" = dataclasses.field(metadata=dict(static=True))
     bc: BoundaryCondition = dataclasses.field(metadata=dict(static=True))
 
@@ -125,13 +127,20 @@ class P1Space:
     static per-level info (masks, sizes) is captured as constants.
     """
 
-    def __init__(self, storage: CellStorage, level: int, dtype=jnp.float32):
+    def __init__(self, storage: CellStorage, level: int, dtype=jnp.float32,
+                 pitch: int | None = None):
         self.storage = storage
         self.level = level
         self.dtype = dtype
         self.dim = storage.dim
-        self.maps: P1LevelMaps = storage.p1_level_maps(level)
-        self.N = self.maps.N
+        self.N = (1 << level) + 1
+        # lane pitch of the flat 3D layout; GMG stacks share pitch = N_max
+        # across levels so grid transfers are pure stride-2 slicing
+        self.pitch = self.N if (pitch is None or self.dim == 2) else int(pitch)
+        assert self.pitch >= self.N
+        self.maps: P1LevelMaps = storage.p1_level_maps(
+            level, self.pitch if self.dim == 3 else None
+        )
         self.n = self.N - 1
         self.C_loc = storage.cells_per_shard
         self._sd_cache: dict[Any, P1ShardData] = {}
@@ -139,20 +148,38 @@ class P1Space:
     # -- static helpers ------------------------------------------------------
 
     @property
+    def lanes(self) -> int:
+        """Size of the minor (lane) axis of a block."""
+        return self.N * self.pitch if self.dim == 3 else self.N
+
+    @property
     def block_shape(self):
-        return (self.C_loc,) + (self.N,) * self.dim
+        return (self.C_loc, self.N, self.lanes)
 
     @property
     def block_size(self):
-        return self.C_loc * self.N**self.dim
+        return self.C_loc * self.N * self.lanes
 
     @functools.cached_property
     def vertex_mask(self) -> np.ndarray:
-        return micro.vertex_mask(self.level, self.dim)
+        """Flat (N, lanes) bool mask of valid micro-vertices."""
+        return micro.vertex_mask_flat(self.level, self.dim, self.pitch)
 
     @functools.cached_property
     def interior_mask(self) -> np.ndarray:
-        return micro.interior_mask(self.level, self.dim)
+        return micro.interior_mask_flat(self.level, self.dim, self.pitch)
+
+    def to_grid(self, u):
+        """(C, N, lanes) -> (C, N, N, pitch) grid view (3D; identity in 2D).
+        Cheap when sliced immediately; avoid materializing on TPU."""
+        if self.dim == 2:
+            return u
+        return u.reshape(u.shape[:-1] + (self.N, self.pitch))
+
+    def from_grid(self, g):
+        if self.dim == 2:
+            return g
+        return g.reshape(g.shape[:-2] + (self.N * self.pitch,))
 
     def cell_valid(self, shard: int = 0) -> np.ndarray:
         lo = shard * self.C_loc
@@ -201,7 +228,7 @@ class P1Space:
 
         if self.storage.num_shards != 1:
             return None
-        return build_dense_ifc(self.storage, self.level)
+        return build_dense_ifc(self.storage, self.level, self.pitch)
 
     def _dense_ok(self, sd: P1ShardData, axis_name) -> bool:
         return (
@@ -252,7 +279,7 @@ class P1Space:
         if key not in self._sd_cache:
             m = self.maps
             D = m.slot_flat.shape[0]
-            blk = self.C_loc * self.N ** self.dim
+            blk = self.block_size
             pad = m.slot_gid == m.num_ifc
             flat = m.slot_flat.astype(np.int64) + (
                 np.arange(D, dtype=np.int64)[:, None] * blk)
@@ -329,7 +356,7 @@ class P1Space:
     def _interior_weight(self, sd: P1ShardData) -> jnp.ndarray:
         w = jnp.asarray(self.interior_mask, dtype=self.dtype)
         cv = sd.cell_valid.astype(self.dtype)
-        return cv.reshape((-1,) + (1,) * self.dim) * w[None]
+        return cv.reshape(-1, 1, 1) * w[None]
 
     def _slot_in_flag(self, sd: P1ShardData, flag: DoFType) -> jnp.ndarray:
         return (sd.slot_doftype & int(flag)) != 0
@@ -405,20 +432,24 @@ class P1Space:
 
     @functools.cached_property
     def _ref_coords(self) -> np.ndarray:
-        """(N..., dim) reference coordinates (barycentric index / n)."""
+        """(N, lanes, dim) reference coordinates (barycentric index / n);
+        zeros on 3D padding lanes (so expressions evaluate at v0 there —
+        finite garbage, masked by vertex_mask downstream)."""
         axes = [np.arange(self.N)] * self.dim
         grids = np.meshgrid(*axes, indexing="ij")
-        return np.stack(grids, axis=-1) / self.n
+        ref = np.stack(grids, axis=-1) / self.n
+        if self.dim == 3:
+            from ..indexing import flat
+            ref = flat.flatten_field(ref, self.pitch, ncomp=1)
+        return ref
 
     def coords_from(self, cell_vertices) -> jnp.ndarray:
-        """(C, N..., 3) physical coordinates of every micro-vertex."""
+        """(C, N, lanes, 3) physical coordinates of every micro-vertex."""
         verts = cell_vertices
         v0 = verts[:, 0]
         J = verts[:, 1:] - verts[:, :1]  # (C, dim, 3)
         ref = jnp.asarray(self._ref_coords, dtype=self.dtype)
-        return v0.reshape((-1,) + (1,) * self.dim + (3,)) + jnp.einsum(
-            "...d,cde->c...e", ref, J
-        )
+        return v0.reshape(-1, 1, 1, 3) + jnp.einsum("xld,cde->cxle", ref, J)
 
     def coords(self, shard: int = 0) -> jnp.ndarray:
         return self.coords_from(jnp.asarray(self.cell_vertices(shard)))
@@ -464,10 +495,21 @@ class P1Space:
         pack[imask] = np.arange(int(imask.sum()))
         return pack
 
+    def global_ids_grid(self, shard: int = 0) -> np.ndarray:
+        """(C, N, N, N) / (C, N, N) grid view of global_ids for spatial
+        (x, y, z) indexing (host-side; sparse assembly, tests)."""
+        g = self.global_ids(shard)
+        if self.dim == 2:
+            return g
+        from ..indexing import flat
+
+        return flat.unflatten_field(g, self.N, self.pitch)
+
     def global_ids(self, shard: int = 0) -> np.ndarray:
-        """(C, N...) int64 global DoF id per position; -1 outside the
-        macro-simplex and on padding cells. Host-side (numpy); used for
-        sparse assembly (toMatrix analog) and equivalence tests."""
+        """(C, N, lanes) int64 global DoF id per position in the canonical
+        flat block layout; -1 outside the macro-simplex and on padding
+        cells. Host-side (numpy); used for sparse assembly (toMatrix
+        analog) and equivalence tests."""
         m = self.maps
         out = np.full(self.block_shape, -1, dtype=np.int64)
         flat = out.reshape(-1)

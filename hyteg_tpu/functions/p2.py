@@ -37,14 +37,16 @@ from .p1 import P1Function, P1ShardData, P1Space
 class P2Space:
     """Binds (storage, element level L); DoFs live on the L+1 node grid."""
 
-    def __init__(self, storage: CellStorage, level: int, dtype=jnp.float32):
+    def __init__(self, storage: CellStorage, level: int, dtype=jnp.float32,
+                 pitch: int | None = None):
         self.storage = storage
         self.level = level              # element refinement level
-        self.node_space = P1Space(storage, level + 1, dtype)
+        self.node_space = P1Space(storage, level + 1, dtype, pitch=pitch)
         self.dtype = dtype
         self.dim = storage.dim
         self.n = 1 << level             # elements per macro-edge
         self.M = self.node_space.N      # node-grid points per macro-edge
+        self.pitch = self.node_space.pitch
 
     # -- delegation to the node grid ----------------------------------------
 
@@ -99,6 +101,9 @@ class P2Space:
     def global_ids(self, shard: int = 0):
         return self.node_space.global_ids(shard)
 
+    def global_ids_grid(self, shard: int = 0):
+        return self.node_space.global_ids_grid(shard)
+
     @functools.cached_property
     def vertex_mask(self) -> np.ndarray:
         return self.node_space.vertex_mask
@@ -109,14 +114,21 @@ class P2Space:
 
     # -- parity views (VertexDoF / EdgeDoF decomposition) --------------------
 
+    def _flat3(self, m: np.ndarray) -> np.ndarray:
+        if self.dim == 3:
+            from ..indexing import flat
+
+            return flat.flatten_field(m, self.pitch)
+        return m
+
     @functools.cached_property
     def vertexdof_mask(self) -> np.ndarray:
-        """(M...,) bool — even-parity nodes (the P1 sub-function)."""
+        """(M, lanes) bool — even-parity nodes (the P1 sub-function)."""
         grids = np.meshgrid(*([np.arange(self.M)] * self.dim), indexing="ij")
         even = np.ones_like(grids[0], dtype=bool)
         for g in grids:
             even &= g % 2 == 0
-        return even & self.vertex_mask
+        return self._flat3(even) & self.vertex_mask
 
     @functools.cached_property
     def edgedof_mask(self) -> np.ndarray:
@@ -129,12 +141,28 @@ class P2Space:
         m = np.ones_like(grids[0], dtype=bool)
         for g, p in zip(grids, parity):
             m &= g % 2 == p
-        return m & self.vertex_mask
+        return self._flat3(m) & self.vertex_mask
+
+    def p1_subspace(self) -> P1Space:
+        """The level-L P1 space on the same lane pitch (vertex DoFs)."""
+        return P1Space(self.storage, self.level, self.dtype, pitch=self.pitch)
 
     def vertexdof_view(self, u) -> jnp.ndarray:
-        """(C, N_L...) P1-level-L function: the vertex DoFs of u."""
-        sl = (slice(None),) + (slice(0, None, 2),) * self.dim
-        return u[sl]
+        """(C, N_L, lanes_L) P1-level-L function (same pitch): the vertex
+        DoFs of u. Masked to valid coarse positions (stride-2 lane slicing
+        aliases padding lanes onto odd nodes; see operators/transfer.py)."""
+        Nc = (1 << self.level) + 1
+        if self.dim == 2:
+            return u[:, ::2, ::2]
+        from ..indexing import micro
+
+        P = self.pitch
+        Lc, Lu = Nc * P, (Nc - 1) * P + Nc
+        v = u[:, : 2 * Nc - 1 : 2, : 2 * Lu - 1 : 2]
+        if Lu < Lc:
+            v = jnp.pad(v, [(0, 0), (0, 0), (0, Lc - Lu)])
+        cvm = micro.vertex_mask_flat(self.level, 3, P)
+        return v * jnp.asarray(cvm[None], dtype=v.dtype)
 
     def embed_p1(self, u_p1_levelL) -> jnp.ndarray:
         """Embed a P1 level-L function into P2 (exact: linear functions are
@@ -142,8 +170,7 @@ class P2Space:
         P1 -> P2 conversion (gridtransferoperators/P1toP2Conversion)."""
         from ..operators.transfer import P1Transfer
 
-        tr = P1Transfer(P1Space(self.storage, self.level, self.dtype),
-                        self.node_space)
+        tr = P1Transfer(self.p1_subspace(), self.node_space)
         return tr.prolongate_local(u_p1_levelL)
 
     def function(self, bc: BoundaryCondition | None = None) -> "P2Function":

@@ -181,6 +181,10 @@ def p1_to_p0(p1_space, u_p1, vol_space: VolumeDoFSpace) -> jnp.ndarray:
     """Element value = mean of the element's vertex values."""
     assert vol_space.level == p1_space.level
     dim, n = vol_space.dim, vol_space.n
+    if dim == 3:  # grid view of the flat P1 block (cold conversion path)
+        from ..indexing import flat
+
+        u_p1 = flat.to_grid(u_p1, p1_space.N, p1_space.pitch)[..., : p1_space.N]
     offs = micro.offsets(dim)
     parts = []
     for t in range(vol_space.T):
@@ -202,8 +206,10 @@ def p0_to_p1(vol_space: VolumeDoFSpace, u_p0, p1_space, sd=None) -> jnp.ndarray:
     dim, n = vol_space.dim, vol_space.n
     offs = micro.offsets(dim)
     vols = vol_space.elem_volumes
-    num = jnp.zeros(p1_space.block_shape, dtype=u_p0.dtype)
-    den = jnp.zeros(p1_space.block_shape, dtype=u_p0.dtype)
+    N = p1_space.N
+    gshape = ((vol_space.C_loc,) + (N,) * dim)
+    num = jnp.zeros(gshape, dtype=u_p0.dtype)
+    den = jnp.zeros(gshape, dtype=u_p0.dtype)
     for t in range(vol_space.T):
         contrib = u_p0[:, t] * vols[:, t]
         wgt = vols[:, t]
@@ -213,6 +219,12 @@ def p0_to_p1(vol_space: VolumeDoFSpace, u_p0, p1_space, sd=None) -> jnp.ndarray:
                                         for d in range(dim))
             num = num.at[sl].add(contrib)
             den = den.at[sl].add(wgt)
+    if dim == 3:  # grid -> flat (cold conversion path)
+        P = p1_space.pitch
+        num = jnp.pad(num, [(0, 0), (0, 0), (0, 0), (0, P - N)]).reshape(
+            num.shape[0], N, N * P)
+        den = jnp.pad(den, [(0, 0), (0, 0), (0, 0), (0, P - N)]).reshape(
+            den.shape[0], N, N * P)
     sd = p1_space.resolve_sd(sd)
     num = p1_space.exchange_add(num, sd)
     den = p1_space.exchange_add(den, sd)

@@ -156,6 +156,45 @@ def elem_base_mask(level: int, cls: int, dim: int) -> np.ndarray:
     return cell_base_mask(level, cls) if dim == 3 else face_base_mask(level, cls)
 
 
+# ---------------------------------------------------------------------------
+# flat-layout variants (3D blocks are (N, N*pitch); see indexing/flat.py)
+# ---------------------------------------------------------------------------
+
+
+def _flatten3(m: np.ndarray, pitch: int) -> np.ndarray:
+    from . import flat
+
+    return flat.flatten_field(m, pitch)
+
+
+@functools.lru_cache(maxsize=None)
+def vertex_mask_flat(level: int, dim: int, pitch: int) -> np.ndarray:
+    if dim == 2:
+        return vertex_mask_2d(level)
+    return _flatten3(vertex_mask_3d(level), pitch)
+
+
+@functools.lru_cache(maxsize=None)
+def interior_mask_flat(level: int, dim: int, pitch: int) -> np.ndarray:
+    if dim == 2:
+        return interior_mask(level, 2)
+    return _flatten3(interior_mask(level, 3), pitch)
+
+
+@functools.lru_cache(maxsize=None)
+def elem_base_mask_flat(level: int, cls: int, dim: int, pitch: int) -> np.ndarray:
+    if dim == 2:
+        return face_base_mask(level, cls)
+    return _flatten3(cell_base_mask(level, cls), pitch)
+
+
+@functools.lru_cache(maxsize=None)
+def boundary_facet_masks_flat(level: int, dim: int, pitch: int) -> np.ndarray:
+    if dim == 2:
+        return boundary_facet_masks_2d(level)
+    return _flatten3(boundary_facet_masks_3d(level), pitch)
+
+
 @functools.lru_cache(maxsize=None)
 def stencil_directions(dim: int) -> np.ndarray:
     """Distinct vertex-to-vertex difference vectors over all classes (incl. 0).

@@ -31,7 +31,7 @@ def assemble_p1_csr(op, bc=None) -> sps.csr_matrix:
     ndof = space.num_global_dofs()
     rows, cols, vals = [], [], []
     for shard in range(storage.num_shards):
-        gids = space.global_ids(shard)
+        gids = space.global_ids_grid(shard)
         lo = shard * storage.cells_per_shard
         for c in range(storage.cells_per_shard):
             if not storage.cell_valid[lo + c]:
@@ -72,7 +72,7 @@ def assemble_p2_csr(op) -> sps.csr_matrix:
     ndof = space.num_global_dofs()
     rows, cols, vals = [], [], []
     for shard in range(storage.num_shards):
-        gids = space.global_ids(shard)
+        gids = space.global_ids_grid(shard)
         lo = shard * storage.cells_per_shard
         for c in range(storage.cells_per_shard):
             if not storage.cell_valid[lo + c]:

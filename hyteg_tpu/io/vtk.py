@@ -59,10 +59,17 @@ class VTKOutput:
         dim = space.dim
         N = (1 << level) + 1
         vm = micro.vertex_mask(level, dim).reshape(-1)
-        coords = np.asarray(space.coords(0), dtype=np.float64)  # (C, N.., 3)
+        coords = np.asarray(space.coords(0), dtype=np.float64)
         C = coords.shape[0]
         block = N**dim
         valid_cells = self.storage.cell_valid[: C]
+        if dim == 3:  # flat (C, N, lanes, 3) -> grid (C, N, N, N, 3)
+            from ..indexing import flat
+
+            pitch = coords.shape[2] // coords.shape[1]
+            coords = flat.unflatten_field(
+                coords.transpose(0, 3, 1, 2), N, pitch
+            ).transpose(0, 2, 3, 4, 1)
 
         # per-cell point blocks (masked positions included but unused)
         conn1 = _micro_connectivity(level, dim)
@@ -96,6 +103,11 @@ class VTKOutput:
             np.savetxt(f, np.full(conn.shape[0], ctype), fmt="%d")
             f.write("</DataArray>\n</Cells>\n<PointData>\n")
             for name, sp, cells in self._functions:
+                if dim == 3:
+                    from ..indexing import flat
+
+                    pitch = cells.shape[2] // cells.shape[1]
+                    cells = flat.unflatten_field(cells, N, pitch)
                 vals = cells.reshape(C, -1)[valid_cells].reshape(-1)
                 f.write(f'<DataArray type="Float32" Name="{name}" '
                         'format="ascii">\n')

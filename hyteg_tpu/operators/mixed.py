@@ -27,15 +27,31 @@ from . import quadrature as q
 from .p2_elementwise import _base_masks, _read_strided, _scatter_strided_add, p2_node_offsets
 
 
-def _shift_read_p1(u, off, n, dim):
-    """R[b] = u[b + off] for b in [0, n)^dim (element-level vertex grid)."""
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + n) for o in off)
-    return u[idx]
+def _shift_read_p1(u, off, n, pitch, dim):
+    """R[b] = u[b + off] over the flat base grid (n, n*pitch) [3D] /
+    (n, n) [2D] on the element-level vertex grid."""
+    if dim == 2:
+        return u[:, int(off[0]) : int(off[0]) + n,
+                 int(off[1]) : int(off[1]) + n]
+    ox, ls = int(off[0]), int(off[1]) * pitch + int(off[2])
+    BL = n * pitch
+    L = u.shape[-1]
+    nl = min(BL, L - ls)
+    r = u[:, ox : ox + n, ls : ls + nl]
+    if nl < BL:
+        r = jnp.pad(r, [(0, 0), (0, 0), (0, BL - nl)])
+    return r
 
 
-def _shift_write_p1_add(dst, v, off, n, dim):
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + n) for o in off)
-    return dst.at[idx].add(v)
+def _shift_write_p1_add(dst, v, off, n, pitch, dim):
+    if dim == 2:
+        return dst.at[:, int(off[0]) : int(off[0]) + n,
+                      int(off[1]) : int(off[1]) + n].add(v)
+    ox, ls = int(off[0]), int(off[1]) * pitch + int(off[2])
+    BL = n * pitch
+    L = dst.shape[-1]
+    nl = min(BL, L - ls)
+    return dst.at[:, ox : ox + n, ls : ls + nl].add(v[:, :, :nl])
 
 
 def compute_divergence_elmats(p2: P2Space, cell_vertices=None) -> jnp.ndarray:
@@ -66,6 +82,10 @@ class P2ToP1DivOperator:
 
     def __init__(self, p2: P2Space, p1: P1Space, shard: int = 0, elmats=None):
         assert p1.level == p2.level
+        if p2.dim == 3 and p1.pitch != p2.pitch:
+            raise ValueError(
+                f"P2ToP1DivOperator needs a shared lane pitch (P1 {p1.pitch}"
+                f" != P2 {p2.pitch})")
         self.p2, self.p1 = p2, p1
         self.shard = shard
         self.elmats = (
@@ -79,7 +99,8 @@ class P2ToP1DivOperator:
         node_offs = p2_node_offsets(dim)
         voffs = micro.offsets(dim)
         T, nA = node_offs.shape[0], node_offs.shape[1]
-        masks = _base_masks(p2.level, dim)
+        pitch = p2.pitch
+        masks = _base_masks(p2.level, dim, pitch)
         dst = jnp.zeros(p1.block_shape, dtype=vel_d.dtype)
         for t in range(T):
             mask = jnp.asarray(masks[t], dtype=vel_d.dtype)
@@ -87,16 +108,17 @@ class P2ToP1DivOperator:
             for A in range(nA):
                 o = tuple(int(x) for x in node_offs[t, A])
                 if o not in reads:
-                    reads[o] = _read_strided(vel_d, o, n, dim)
+                    reads[o] = _read_strided(vel_d, o, n, pitch, dim)
             for i in range(voffs.shape[1]):
                 acc = None
                 for A in range(nA):
                     wA = self.elmats[:, t, i, A, d]
                     r = reads[tuple(int(x) for x in node_offs[t, A])]
-                    term = wA.reshape((-1,) + (1,) * dim) * r
+                    term = wA.reshape(-1, 1, 1) * r
                     acc = term if acc is None else acc + term
                 dst = _shift_write_p1_add(
-                    dst, acc * mask, tuple(int(x) for x in voffs[t, i]), n, dim
+                    dst, acc * mask, tuple(int(x) for x in voffs[t, i]), n,
+                    pitch, dim
                 )
         return dst
 
@@ -114,22 +136,24 @@ class P2ToP1DivOperator:
         node_offs = p2_node_offsets(dim)
         voffs = micro.offsets(dim)
         T, nA = node_offs.shape[0], node_offs.shape[1]
-        masks = _base_masks(p2.level, dim)
+        pitch = p2.pitch
+        masks = _base_masks(p2.level, dim, pitch)
         dst = jnp.zeros(p2.block_shape, dtype=p.dtype)
         for t in range(T):
             mask = jnp.asarray(masks[t], dtype=p.dtype)
             reads = {}
             for i in range(voffs.shape[1]):
                 o = tuple(int(x) for x in voffs[t, i])
-                reads[o] = _shift_read_p1(p, o, n, dim)
+                reads[o] = _shift_read_p1(p, o, n, pitch, dim)
             for A in range(nA):
                 acc = None
                 for i in range(voffs.shape[1]):
                     wA = self.elmats[:, t, i, A, d]
                     r = reads[tuple(int(x) for x in voffs[t, i])]
-                    term = wA.reshape((-1,) + (1,) * dim) * r
+                    term = wA.reshape(-1, 1, 1) * r
                     acc = term if acc is None else acc + term
                 dst = _scatter_strided_add(
-                    dst, acc * mask, tuple(int(x) for x in node_offs[t, A]), n, dim
+                    dst, acc * mask, tuple(int(x) for x in node_offs[t, A]), n,
+                    pitch, dim
                 )
         return dst

@@ -82,44 +82,44 @@ def n1e1_elmats(space: N1E1Space, alpha: float = 1.0, beta: float = 0.0,
     return K
 
 
-def n1e1_apply_local(src, elmats, level: int) -> jnp.ndarray:
+def n1e1_apply_local(src, elmats, level: int, pitch: int) -> jnp.ndarray:
     """Per-cell partial apply: dst[2b + o_A] += elMat[c,t,A,B] src[2b + o_B]
     over the 6 edge midpoints o of every micro-tet class."""
     n = 1 << level
     node_offs, _, _ = edge_tables(3)  # (T, E, 3)
     T, E = node_offs.shape[0], node_offs.shape[1]
-    masks = _base_masks(level, 3)
+    masks = _base_masks(level, 3, pitch)
     dst = jnp.zeros_like(src)
     for t in range(T):
         distinct = {tuple(int(x) for x in node_offs[t, B]) for B in range(E)}
-        reads = {o: _read_strided(src, o, n, 3) for o in distinct}
+        reads = {o: _read_strided(src, o, n, pitch, 3) for o in distinct}
         mask = jnp.asarray(masks[t], dtype=src.dtype)
         for A in range(E):
             acc = None
             for B in range(E):
-                term = elmats[:, t, A, B].reshape((-1, 1, 1, 1)) * reads[
+                term = elmats[:, t, A, B].reshape(-1, 1, 1) * reads[
                     tuple(int(x) for x in node_offs[t, B])]
                 acc = term if acc is None else acc + term
             acc = acc * mask
             dst = _scatter_strided_add(
-                dst, acc, tuple(int(x) for x in node_offs[t, A]), n, 3)
+                dst, acc, tuple(int(x) for x in node_offs[t, A]), n, pitch, 3)
     return dst
 
 
-def n1e1_diagonal_local(elmats, level: int, block_shape) -> jnp.ndarray:
+def n1e1_diagonal_local(elmats, level: int, block_shape, pitch: int) -> jnp.ndarray:
     n = 1 << level
     node_offs, _, _ = edge_tables(3)
     T, E = node_offs.shape[0], node_offs.shape[1]
-    masks = _base_masks(level, 3)
+    masks = _base_masks(level, 3, pitch)
     dst = jnp.zeros(block_shape, dtype=elmats.dtype)
-    base_shape = (elmats.shape[0],) + (n,) * 3
+    base_shape = (elmats.shape[0], n, n * pitch)
     for t in range(T):
         mask = jnp.asarray(masks[t], dtype=elmats.dtype)
         for A in range(E):
             v = jnp.broadcast_to(
-                elmats[:, t, A, A].reshape((-1, 1, 1, 1)), base_shape) * mask
+                elmats[:, t, A, A].reshape(-1, 1, 1), base_shape) * mask
             dst = _scatter_strided_add(
-                dst, v, tuple(int(x) for x in node_offs[t, A]), n, 3)
+                dst, v, tuple(int(x) for x in node_offs[t, A]), n, pitch, 3)
     return dst
 
 
@@ -136,17 +136,18 @@ def potential_diagonal_local(space: N1E1Space, elmats_unsigned,
     Gl = jnp.asarray(Gloc, dtype=elmats_unsigned.dtype)
     P = jnp.einsum("ea,ctef,fb->ctab", Gl, elmats_unsigned, Gl)
     n = space.n
+    pitch = space.node_space.pitch
     offs = micro.offsets(3)
-    masks = _base_masks(space.level, 3)
+    masks = _base_masks(space.level, 3, pitch)
     dst = jnp.zeros(block_shape, dtype=elmats_unsigned.dtype)
-    base_shape = (P.shape[0],) + (n,) * 3
+    base_shape = (P.shape[0], n, n * pitch)
     for t in range(P.shape[1]):
         mask = jnp.asarray(masks[t], dtype=P.dtype)
         for A in range(nv):
             v = jnp.broadcast_to(
-                P[:, t, A, A].reshape((-1, 1, 1, 1)), base_shape) * mask
+                P[:, t, A, A].reshape(-1, 1, 1), base_shape) * mask
             o = tuple(int(2 * x) for x in offs[t, A])
-            dst = _scatter_strided_add(dst, v, o, n, 3)
+            dst = _scatter_strided_add(dst, v, o, n, pitch, 3)
     return dst
 
 
@@ -166,13 +167,15 @@ class N1E1ElementwiseOperator:
     def apply_raw(self, x, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        y = n1e1_apply_local(x, self.elmats, sp.level)
+        y = n1e1_apply_local(x, self.elmats, sp.level,
+                             sp.node_space.pitch)
         return sp.exchange_add(y, sd, axis_name)
 
     def diagonal_raw(self, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        d = n1e1_diagonal_local(self.elmats, sp.level, sp.block_shape)
+        d = n1e1_diagonal_local(self.elmats, sp.level, sp.block_shape,
+                                sp.node_space.pitch)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, sd=None, axis_name=None):

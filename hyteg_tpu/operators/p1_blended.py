@@ -33,25 +33,28 @@ def blended_coords(space: P1Space, gmap: GeometryMap, shard: int = 0):
     return gmap.apply(affine, ref, verts)
 
 
-def p1_apply_local_vargeom(src, coords, level: int, dim: int, form):
+def p1_apply_local_vargeom(src, coords, level: int, dim: int, form,
+                           pitch: int | None = None):
     """Per-cell apply with per-micro-element geometry.
 
-    coords: (C, N..., 3) blended vertex field; form: (..., nv, dim) ->
+    coords: (C, N, lanes, 3) blended vertex field; form: (..., nv, dim) ->
     (..., nv, nv) evaluated pointwise over all base positions.
     """
+    N = (1 << level) + 1
+    pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)
     T, nv = offs.shape[0], offs.shape[1]
-    masks = _class_masks(level, dim, str(src.dtype))
+    masks = _class_masks(level, dim, pitch, str(src.dtype))
     co = coords[..., :dim] if dim == 2 else coords
     dst = jnp.zeros_like(src)
     for t in range(T):
         verts = jnp.stack(
-            [_shift_read(co, tuple(offs[t, b]) + (0,), dim + 1)
+            [_shift_read(co, offs[t, b], pitch, dim, ncomp=1)
              for b in range(nv)],
             axis=-2,
-        )  # (C, N..., nv, dim)
-        el = form(verts)  # (C, N..., nv, nv)
-        reads = [_shift_read(src, offs[t, b], dim) for b in range(nv)]
+        )  # (C, N, lanes, nv, dim)
+        el = form(verts)  # (C, N, lanes, nv, nv)
+        reads = [_shift_read(src, offs[t, b], pitch, dim) for b in range(nv)]
         base_mask = jnp.asarray(masks[t]) > 0
         for a in range(nv):
             acc = el[..., a, 0] * reads[0]
@@ -60,19 +63,22 @@ def p1_apply_local_vargeom(src, coords, level: int, dim: int, form):
             # where (not *): el is NaN on padding elements (degenerate
             # zero-coordinate reads) and NaN * 0 would poison the result
             acc = jnp.where(base_mask, acc, 0.0)
-            dst = dst + _shift_write(acc, offs[t, a], dim)
+            dst = dst + _shift_write(acc, offs[t, a], pitch, dim)
     return dst
 
 
-def p1_diagonal_local_vargeom(coords, level: int, dim: int, form, block_shape):
+def p1_diagonal_local_vargeom(coords, level: int, dim: int, form, block_shape,
+                              pitch: int | None = None):
+    N = (1 << level) + 1
+    pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)
     T, nv = offs.shape[0], offs.shape[1]
-    masks = _class_masks(level, dim, "float32")
+    masks = _class_masks(level, dim, pitch, "float32")
     co = coords[..., :dim] if dim == 2 else coords
     dst = jnp.zeros(block_shape, dtype=coords.dtype)
     for t in range(T):
         verts = jnp.stack(
-            [_shift_read(co, tuple(offs[t, b]) + (0,), dim + 1)
+            [_shift_read(co, offs[t, b], pitch, dim, ncomp=1)
              for b in range(nv)],
             axis=-2,
         )
@@ -80,7 +86,7 @@ def p1_diagonal_local_vargeom(coords, level: int, dim: int, form, block_shape):
         base_mask = jnp.asarray(masks[t]) > 0
         for a in range(nv):
             v = jnp.where(base_mask, el[..., a, a], 0.0)
-            dst = dst + _shift_write(v, offs[t, a], dim)
+            dst = dst + _shift_write(v, offs[t, a], pitch, dim)
     return dst
 
 
@@ -97,7 +103,8 @@ class P1BlendedOperator:
     def apply_raw(self, x, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        y = p1_apply_local_vargeom(x, self.coords, sp.level, sp.dim, self.form)
+        y = p1_apply_local_vargeom(x, self.coords, sp.level, sp.dim,
+                                   self.form, sp.pitch)
         return sp.exchange_add(y, sd, axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
@@ -110,7 +117,7 @@ class P1BlendedOperator:
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
         d = p1_diagonal_local_vargeom(self.coords, sp.level, sp.dim, self.form,
-                                      sp.block_shape)
+                                      sp.block_shape, sp.pitch)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, sd=None, axis_name=None):
@@ -157,17 +164,19 @@ class P1SurrogateOperator:
         coords = blended_coords(space, gmap, shard)
         offs = micro.offsets(dim)
         T, nv = offs.shape[0], offs.shape[1]
-        ref = np.asarray(space._ref_coords)  # (N..., dim)
+        ref = np.asarray(space._ref_coords)  # (N, lanes, dim)
         self._coeffs = []  # per class: (C, n_mono, nv, nv)
         co = coords[..., :dim] if dim == 2 else coords
         for t in range(T):
             verts = jnp.stack(
-                [_shift_read(co, tuple(offs[t, b]) + (0,), dim + 1)
+                [_shift_read(co, offs[t, b], space.pitch, dim, ncomp=1)
                  for b in range(nv)],
                 axis=-2,
             )
-            el = np.asarray(form(verts))  # (C, N..., nv, nv)
-            mask = np.asarray(micro.elem_base_mask(space.level, t, dim))
+            el = np.asarray(form(verts))  # (C, N, lanes, nv, nv)
+            mask = np.asarray(
+                micro.elem_base_mask_flat(space.level, t, dim, space.pitch)
+                if dim == 3 else micro.elem_base_mask(space.level, t, dim))
             sel = mask.reshape(-1)
             X = ref.reshape(-1, dim)[sel]  # (nb, dim)
             V = np.stack(
@@ -194,20 +203,21 @@ class P1SurrogateOperator:
         dim = sp.dim
         offs = micro.offsets(dim)
         T, nv = offs.shape[0], offs.shape[1]
-        masks = _class_masks(sp.level, dim, str(x.dtype))
+        masks = _class_masks(sp.level, dim, sp.pitch, str(x.dtype))
         dst = jnp.zeros_like(x)
-        mono = self._mono_fields  # (n_mono, N...)
+        mono = self._mono_fields  # (n_mono, N, lanes)
         for t in range(T):
             # w_ab(x) = sum_m coef[c, m, a, b] * mono[m](x)
             el = jnp.einsum("cmab,m...->c...ab", self._coeffs[t], mono)
-            reads = [_shift_read(x, offs[t, b], dim) for b in range(nv)]
+            reads = [_shift_read(x, offs[t, b], sp.pitch, dim)
+                     for b in range(nv)]
             base_mask = jnp.asarray(masks[t]) > 0
             for a in range(nv):
                 acc = el[..., a, 0] * reads[0]
                 for b in range(1, nv):
                     acc = acc + el[..., a, b] * reads[b]
                 dst = dst + _shift_write(jnp.where(base_mask, acc, 0.0),
-                                         offs[t, a], dim)
+                                         offs[t, a], sp.pitch, dim)
         return sp.exchange_add(dst, sd, axis_name)
 
     def compute_surrogate_error(self, exact_op: P1BlendedOperator, x) -> float:

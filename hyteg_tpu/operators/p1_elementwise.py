@@ -12,7 +12,8 @@ matrix is constant over the macro-cell (affine geometry), so
     dst[base + off_t[a]] += sum_b elMat[c, t, a, b] * src[base + off_t[b]]
 
 over all valid base positions — a sum of *shifted dense multiply-adds* over
-the (C, N, N, N) block, masked to the per-class base region. On TPU this is
+the flat (C, N, N*pitch) block, masked to the per-class base region. On TPU
+this is
 bandwidth-bound either way, so the flop overhead vs. an ideal 15-point
 stencil is free while staying exact for arbitrary per-cell geometry — the
 same code path serves constant, variable-coefficient and (via per-element
@@ -29,7 +30,7 @@ import numpy as np
 
 from ..core.types import BoundaryCondition, DoFType, FLAG_INNER, UpdateType
 from ..functions.p1 import P1Function, P1ShardData, P1Space
-from ..indexing import micro
+from ..indexing import flat, micro
 
 
 def _use_pallas() -> bool:
@@ -38,28 +39,22 @@ def _use_pallas() -> bool:
     return pallas_available()
 
 
-def _shift_read(u: jnp.ndarray, off, dim: int) -> jnp.ndarray:
-    """out[..., b] = u[..., b + off] (zero beyond the block)."""
-    if all(o == 0 for o in off):
-        return u
-    idx = (Ellipsis,) + tuple(slice(int(o), None) for o in off)
-    pads = [(0, 0)] * (u.ndim - dim) + [(0, int(o)) for o in off]
-    return jnp.pad(u[idx], pads)
+def _shift_read(u, off, pitch: int, dim: int, ncomp: int = 0):
+    """out[p] = u[p + off] on flat blocks (zero beyond the block; lane
+    aliasing killed by the base-region masks)."""
+    return flat.shift_read(u, off, pitch, dim, ncomp)
 
 
-def _shift_write(v: jnp.ndarray, off, dim: int) -> jnp.ndarray:
-    """out[..., b + off] = v[..., b] (dropped beyond the block)."""
-    if all(o == 0 for o in off):
-        return v
-    pads = [(0, 0)] * (v.ndim - dim) + [(int(o), 0) for o in off]
-    idx = (Ellipsis,) + tuple(slice(0, v.shape[v.ndim - dim + i]) for i in range(dim))
-    return jnp.pad(v, pads)[idx]
+def _shift_write(v, off, pitch: int, dim: int, ncomp: int = 0):
+    """out[p + off] = v[p] (dropped beyond the block)."""
+    return flat.shift_write(v, off, pitch, dim, ncomp)
 
 
 @functools.lru_cache(maxsize=None)
-def _class_masks(level: int, dim: int, dtype_name: str) -> tuple:
+def _class_masks(level: int, dim: int, pitch: int, dtype_name: str) -> tuple:
     return tuple(
-        np.asarray(micro.elem_base_mask(level, t, dim), dtype=dtype_name)
+        np.asarray(micro.elem_base_mask_flat(level, t, dim, pitch),
+                   dtype=dtype_name)
         for t in range(micro.num_classes(dim))
     )
 
@@ -81,68 +76,76 @@ def p1_apply_local(
     elmats: jnp.ndarray,
     level: int,
     dim: int,
+    pitch: int | None = None,
     coeff: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-cell operator apply (partial sums on interface rows).
 
-    src:    (C, N, N, N) / (C, N, N)
+    src:    (C, N, N*pitch) [3D] / (C, N, N) [2D]
     elmats: (C, T, nv, nv)
-    coeff:  optional (C, N...) nodal field; each element is scaled by the
-            mean of its nv vertex values (variable-coefficient path).
+    coeff:  optional nodal field (same shape as src); each element is scaled
+            by the mean of its nv vertex values (variable-coefficient path).
     """
+    N = (1 << level) + 1
+    pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)  # (T, nv, dim)
     T, nv = offs.shape[0], offs.shape[1]
-    masks = _class_masks(level, dim, str(src.dtype))
+    masks = _class_masks(level, dim, pitch, str(src.dtype))
     dst = jnp.zeros_like(src)
-    bshape = (-1,) + (1,) * dim
     for t in range(T):
-        reads = [_shift_read(src, offs[t, b], dim) for b in range(nv)]
+        reads = [_shift_read(src, offs[t, b], pitch, dim) for b in range(nv)]
         if coeff is not None:
-            creads = [_shift_read(coeff, offs[t, b], dim) for b in range(nv)]
+            creads = [_shift_read(coeff, offs[t, b], pitch, dim)
+                      for b in range(nv)]
             scale = sum(creads) / nv
         base_mask = jnp.asarray(masks[t])
         for a in range(nv):
-            acc = elmats[:, t, a, 0].reshape(bshape) * reads[0]
+            acc = elmats[:, t, a, 0].reshape(-1, 1, 1) * reads[0]
             for b in range(1, nv):
-                acc = acc + elmats[:, t, a, b].reshape(bshape) * reads[b]
+                acc = acc + elmats[:, t, a, b].reshape(-1, 1, 1) * reads[b]
             if coeff is not None:
                 acc = acc * scale
-            dst = dst + _shift_write(acc * base_mask, offs[t, a], dim)
+            dst = dst + _shift_write(acc * base_mask, offs[t, a], pitch, dim)
     return dst
 
 
-def _p1_diag_local(elmats, level, dim, block_shape, coeff, entry_fn):
+def _p1_diag_local(elmats, level, dim, block_shape, pitch, coeff, entry_fn):
+    N = (1 << level) + 1
+    pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)
     T, nv = offs.shape[0], offs.shape[1]
-    masks = _class_masks(level, dim, str(jnp.zeros(0, elmats.dtype).dtype))
+    masks = _class_masks(level, dim, pitch,
+                         str(jnp.zeros(0, elmats.dtype).dtype))
     dst = jnp.zeros(block_shape, dtype=elmats.dtype)
-    bshape = (-1,) + (1,) * dim
     for t in range(T):
         base_mask = jnp.asarray(masks[t])
         if coeff is not None:
-            creads = [_shift_read(coeff, offs[t, b], dim) for b in range(nv)]
+            creads = [_shift_read(coeff, offs[t, b], pitch, dim)
+                      for b in range(nv)]
             scale = sum(creads) / nv
         for a in range(nv):
             acc = jnp.broadcast_to(
-                entry_fn(elmats, t, a).reshape(bshape), block_shape
+                entry_fn(elmats, t, a).reshape(-1, 1, 1), block_shape
             ) * base_mask
             if coeff is not None:
                 acc = acc * scale
-            dst = dst + _shift_write(acc, offs[t, a], dim)
+            dst = dst + _shift_write(acc, offs[t, a], pitch, dim)
     return dst
 
 
-def p1_diagonal_local(elmats, level, dim, block_shape, coeff=None):
+def p1_diagonal_local(elmats, level, dim, block_shape, pitch=None, coeff=None):
     """Per-cell partial diagonal: dst[base + off_a] += elMat[t, a, a]."""
     return _p1_diag_local(
-        elmats, level, dim, block_shape, coeff, lambda e, t, a: e[:, t, a, a]
+        elmats, level, dim, block_shape, pitch, coeff,
+        lambda e, t, a: e[:, t, a, a]
     )
 
 
-def p1_lumped_local(elmats, level, dim, block_shape, coeff=None):
+def p1_lumped_local(elmats, level, dim, block_shape, pitch=None, coeff=None):
     """Row-sum (lumped) partial diagonal: dst[off_a] += sum_b elMat[a, b]."""
     return _p1_diag_local(
-        elmats, level, dim, block_shape, coeff, lambda e, t, a: e[:, t, a, :].sum(-1)
+        elmats, level, dim, block_shape, pitch, coeff,
+        lambda e, t, a: e[:, t, a, :].sum(-1)
     )
 
 
@@ -175,15 +178,13 @@ class P1ElementwiseOperator:
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
         if _use_pallas():
-            from ..kernels.p1_stencil import p1_apply_local_pallas_flat_v2
+            from ..kernels.p1_stencil import p1_apply_local_pallas_flat
 
-            N = sp.N
-            xf = x.reshape(x.shape[0], N, -1)
-            cf = None if coeff is None else coeff.reshape(xf.shape)
-            y = p1_apply_local_pallas_flat_v2(xf, self.elmats, sp.level,
-                                              sp.dim, cf).reshape(x.shape)
+            y = p1_apply_local_pallas_flat(x, self.elmats, sp.level, sp.dim,
+                                           sp.pitch, coeff)
         else:
-            y = p1_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
+            y = p1_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch,
+                               coeff)
         return sp.exchange_add(y, sd, axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
@@ -197,11 +198,13 @@ class P1ElementwiseOperator:
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
         if _use_pallas():
-            from ..kernels.p1_stencil import p1_diagonal_local_pallas
+            from ..kernels.p1_stencil import p1_diagonal_local_pallas_flat
 
-            d = p1_diagonal_local_pallas(self.elmats, sp.level, sp.dim, False, coeff)
+            d = p1_diagonal_local_pallas_flat(self.elmats, sp.level, sp.dim,
+                                              sp.pitch, False, coeff)
         else:
-            d = p1_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+            d = p1_diagonal_local(self.elmats, sp.level, sp.dim,
+                                  sp.block_shape, sp.pitch, coeff)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
@@ -214,7 +217,8 @@ class P1ElementwiseOperator:
     def lumped_inverse_diagonal(self, coeff=None, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        d = p1_lumped_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+        d = p1_lumped_local(self.elmats, sp.level, sp.dim, sp.block_shape,
+                            sp.pitch, coeff)
         d = sp.exchange_add(d, sd, axis_name)
         mask = jnp.asarray(sp.vertex_mask[None], dtype=bool)
         return jnp.where(mask & (d != 0), 1.0 / jnp.where(d == 0, 1.0, d), 0.0)

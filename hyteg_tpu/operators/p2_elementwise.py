@@ -48,28 +48,49 @@ def p2_node_offsets(dim: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _base_masks(level: int, dim: int):
-    """Class base masks on the element grid, cropped to [0, n)^dim."""
+def _base_masks(level: int, dim: int, pitch: int):
+    """Class base masks on the flat element grid (n, n*pitch) [3D] /
+    (n, n) [2D], cropped to [0, n)^dim before flattening."""
+    from ..indexing import flat
+
     n = 1 << level
     out = []
     for t in range(micro.num_classes(dim)):
         m = micro.elem_base_mask(level, t, dim)
-        out.append(np.ascontiguousarray(m[(slice(0, n),) * dim], dtype=np.float32))
+        m = np.ascontiguousarray(m[(slice(0, n),) * dim], dtype=np.float32)
+        if dim == 3:
+            m = flat.flatten_field(m, pitch)
+        out.append(m)
     return tuple(out)
 
 
-def _read_strided(u, off, n, dim):
-    """R[b] = u[2b + off] for b in [0, n)^dim."""
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 2 * n, 2) for o in off)
-    r = u[idx]
-    crop = (slice(None),) + tuple(slice(0, n) for _ in range(dim))
-    return r[crop]
+def _lane_parts(off, pitch: int, dim: int):
+    """(sublane offset, lane shift) of a node-grid offset."""
+    if dim == 2:
+        return int(off[0]), int(off[1])
+    return int(off[0]), int(off[1]) * pitch + int(off[2])
 
 
-def _scatter_strided_add(dst, v, off, n, dim):
-    """dst[2b + off] += v[b]."""
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 2 * n, 2) for o in off)
-    return dst.at[idx].add(v)
+def _read_strided(u, off, n, pitch, dim):
+    """R[b] = u[2b + off] on flat node blocks, b over the (n, n*pitch)
+    flat base grid (invalid padding lanes read garbage/zero — masked)."""
+    ox, ls = _lane_parts(off, pitch, dim)
+    BL = n * pitch if dim == 3 else n
+    L = u.shape[-1]
+    nl = min(BL, (L - 1 - ls) // 2 + 1)
+    r = u[:, ox : ox + 2 * n : 2, ls : ls + 2 * nl : 2]
+    if nl < BL:
+        r = jnp.pad(r, [(0, 0), (0, 0), (0, BL - nl)])
+    return r
+
+
+def _scatter_strided_add(dst, v, off, n, pitch, dim):
+    """dst[2b + off] += v[b] (v masked to valid bases by the caller)."""
+    ox, ls = _lane_parts(off, pitch, dim)
+    BL = n * pitch if dim == 3 else n
+    L = dst.shape[-1]
+    nl = min(BL, (L - 1 - ls) // 2 + 1)
+    return dst.at[:, ox : ox + 2 * n : 2, ls : ls + 2 * nl : 2].add(v[:, :, :nl])
 
 
 def compute_p2_elmats(space: P2Space, kind: str = "laplace",
@@ -103,70 +124,72 @@ def compute_p2_elmats(space: P2Space, kind: str = "laplace",
     raise ValueError(f"unknown kind {kind}")
 
 
-def p2_apply_local(src, elmats, level: int, dim: int,
+def p2_apply_local(src, elmats, level: int, dim: int, pitch: int | None = None,
                    coeff=None) -> jnp.ndarray:
-    """Per-cell partial P2 apply on the node grid.
+    """Per-cell partial P2 apply on the flat node grid.
 
-    src: (C, M...); elmats: (C, T, n_nodes, n_nodes); coeff: optional nodal
-    field on the node grid — each element scaled by the mean of its vertex
-    values (element level), matching the P1 variable path.
+    src: (C, M, M*pitch) [3D] / (C, M, M) [2D]; elmats: (C, T, nn, nn);
+    coeff: optional nodal field on the node grid — each element scaled by
+    the mean of its vertex values (element level), like the P1 variable path.
     """
     n = 1 << level
+    pitch = (2 * n + 1) if (pitch is None or dim == 2) else pitch
     node_offs = p2_node_offsets(dim)  # (T, nn, dim)
     T, nn = node_offs.shape[0], node_offs.shape[1]
-    masks = _base_masks(level, dim)
+    masks = _base_masks(level, dim, pitch)
     voffs = micro.offsets(dim)
     dst = jnp.zeros_like(src)
     for t in range(T):
         distinct = {tuple(int(x) for x in node_offs[t, B]) for B in range(nn)}
-        reads = {o: _read_strided(src, o, n, dim) for o in distinct}
+        reads = {o: _read_strided(src, o, n, pitch, dim) for o in distinct}
         mask = jnp.asarray(masks[t], dtype=src.dtype)
         if coeff is not None:
             # element-mean of coeff at the element's vertices (2*off on grid)
             sc = None
             for vtx in range(voffs.shape[1]):
                 o = tuple(int(2 * x) for x in voffs[t, vtx])
-                r = _read_strided(coeff, o, n, dim)
+                r = _read_strided(coeff, o, n, pitch, dim)
                 sc = r if sc is None else sc + r
             mask = mask * (sc / voffs.shape[1])
         for A in range(nn):
             acc = None
             for B in range(nn):
-                term = elmats[:, t, A, B][:, None, None, None][
-                    (slice(None),) + (None,) * 0
-                ] if dim == 3 else elmats[:, t, A, B][:, None, None]
+                term = elmats[:, t, A, B].reshape(-1, 1, 1)
                 term = term * reads[tuple(int(x) for x in node_offs[t, B])]
                 acc = term if acc is None else acc + term
             acc = acc * mask
-            dst = _scatter_strided_add(dst, acc, tuple(int(x) for x in node_offs[t, A]),
-                                       n, dim)
+            dst = _scatter_strided_add(
+                dst, acc, tuple(int(x) for x in node_offs[t, A]), n, pitch, dim
+            )
     return dst
 
 
-def p2_diagonal_local(elmats, level: int, dim: int, block_shape, coeff=None):
+def p2_diagonal_local(elmats, level: int, dim: int, block_shape,
+                      pitch: int | None = None, coeff=None):
     n = 1 << level
+    pitch = (2 * n + 1) if (pitch is None or dim == 2) else pitch
     node_offs = p2_node_offsets(dim)
     T, nn = node_offs.shape[0], node_offs.shape[1]
-    masks = _base_masks(level, dim)
+    masks = _base_masks(level, dim, pitch)
     voffs = micro.offsets(dim)
     dst = jnp.zeros(block_shape, dtype=elmats.dtype)
-    base_shape = (elmats.shape[0],) + (n,) * dim
+    BL = n * pitch if dim == 3 else n
+    base_shape = (elmats.shape[0], n, BL)
     for t in range(T):
         mask = jnp.asarray(masks[t], dtype=elmats.dtype)
         if coeff is not None:
             sc = None
             for vtx in range(voffs.shape[1]):
                 o = tuple(int(2 * x) for x in voffs[t, vtx])
-                r = _read_strided(coeff, o, n, dim)
+                r = _read_strided(coeff, o, n, pitch, dim)
                 sc = r if sc is None else sc + r
             mask = mask * (sc / voffs.shape[1])
         for A in range(nn):
             w = elmats[:, t, A, A]
-            v = jnp.broadcast_to(
-                w.reshape((-1,) + (1,) * dim), base_shape
-            ) * mask
-            dst = _scatter_strided_add(dst, v, tuple(int(x) for x in node_offs[t, A]),
-                                       n, dim)
+            v = jnp.broadcast_to(w.reshape(-1, 1, 1), base_shape) * mask
+            dst = _scatter_strided_add(
+                dst, v, tuple(int(x) for x in node_offs[t, A]), n, pitch, dim
+            )
     return dst
 
 
@@ -189,7 +212,7 @@ class P2ElementwiseOperator:
     def apply_raw(self, x, coeff=None, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        y = p2_apply_local(x, self.elmats, sp.level, sp.dim, coeff)
+        y = p2_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch, coeff)
         return sp.exchange_add(y, sd, axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
@@ -201,7 +224,8 @@ class P2ElementwiseOperator:
     def diagonal_raw(self, coeff=None, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        d = p2_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape, coeff)
+        d = p2_diagonal_local(self.elmats, sp.level, sp.dim, sp.block_shape,
+                              sp.pitch, coeff)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, coeff=None, sd=None, axis_name=None):

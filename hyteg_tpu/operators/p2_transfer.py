@@ -24,9 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..functions.p2 import P2Space
-from ..indexing import micro
+from ..indexing import flat, micro
 from . import quadrature as q
-from .p2_elementwise import p2_node_offsets
+from .p2_elementwise import (_base_masks, _read_strided,
+                             _scatter_strided_add, p2_node_offsets)
 
 
 @functools.lru_cache(maxsize=None)
@@ -57,21 +58,15 @@ def _fine_offsets_and_weights(dim: int):
     return gs, W
 
 
-@functools.lru_cache(maxsize=None)
-def _class_fine_valid(dim: int, level: int):
+def _class_fine_valid(dim: int, level: int, pitch: int):
     """For class t: which fine offsets G stay inside the fine node grid for
     every valid base (all of them — G/4 within the element => inside the
-    macro-simplex). Returns the element base masks cropped to [0, n)."""
-    n = 1 << level
-    out = []
-    for t in range(micro.num_classes(dim)):
-        m = micro.elem_base_mask(level, t, dim)
-        out.append(np.ascontiguousarray(m[(slice(0, n),) * dim], dtype=np.float32))
-    return tuple(out)
+    macro-simplex). Returns the flat element base masks cropped to [0, n)."""
+    return _base_masks(level, dim, pitch)
 
 
 @functools.lru_cache(maxsize=None)
-def _elem_mult(dim: int, level: int) -> np.ndarray:
+def _elem_mult(dim: int, level: int, pitch: int) -> np.ndarray:
     """Static fine-node-grid field: number of (class, base) coarse elements
     containing each fine node (within one macro cell). Duplicate (class,
     base, G) hits on the same node (distinct multi-indices mapping to the
@@ -89,30 +84,43 @@ def _elem_mult(dim: int, level: int) -> np.ndarray:
             idx = tuple(pos[:, d] for d in range(dim))
             offs_count[idx] += 1.0
     offs_count[offs_count == 0] = 1.0
+    if dim == 3:
+        ones = flat.flatten_field(np.ones_like(offs_count), pitch)
+        offs_count = flat.flatten_field(offs_count, pitch)
+        offs_count[ones == 0] = 1.0  # padding lanes: neutral divisor
     return offs_count
 
 
-def _read2(u, off, n, dim):
-    """R[b] = u[2b + off], b in [0, n)^dim (coarse node grid)."""
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 2 * n, 2) for o in off)
-    r = u[idx]
-    return r[(slice(None),) + tuple(slice(0, n) for _ in range(dim))]
+def _read2(u, off, n, pitch, dim):
+    """R[b] = u[2b + off] over the flat base grid (coarse node grid)."""
+    return _read_strided(u, off, n, pitch, dim)
 
 
-def _write4_set(out, v, off, n, dim):
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 4 * n, 4) for o in off)
-    return out.at[idx].set(v)
+def _stride4_parts(off, pitch, dim, n, L):
+    if dim == 2:
+        ox, ls = int(off[0]), int(off[1])
+    else:
+        ox, ls = int(off[0]), int(off[1]) * pitch + int(off[2])
+    BL = n * pitch if dim == 3 else n
+    nl = min(BL, (L - 1 - ls) // 4 + 1)
+    return ox, ls, BL, nl
 
 
-def _read4(u, off, n, dim):
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 4 * n, 4) for o in off)
-    r = u[idx]
-    return r[(slice(None),) + tuple(slice(0, n) for _ in range(dim))]
+def _write4_set(out, v, off, n, pitch, dim):
+    ox, ls, BL, nl = _stride4_parts(off, pitch, dim, n, out.shape[-1])
+    return out.at[:, ox : ox + 4 * n : 4, ls : ls + 4 * nl : 4].set(v[:, :, :nl])
 
 
-def _write2_add(out, v, off, n, dim):
-    idx = (slice(None),) + tuple(slice(int(o), int(o) + 2 * n, 2) for o in off)
-    return out.at[idx].add(v)
+def _read4(u, off, n, pitch, dim):
+    ox, ls, BL, nl = _stride4_parts(off, pitch, dim, n, u.shape[-1])
+    r = u[:, ox : ox + 4 * n : 4, ls : ls + 4 * nl : 4]
+    if nl < BL:
+        r = jnp.pad(r, [(0, 0), (0, 0), (0, BL - nl)])
+    return r
+
+
+def _write2_add(out, v, off, n, pitch, dim):
+    return _scatter_strided_add(out, v, off, n, pitch, dim)
 
 
 class P2Transfer:
@@ -124,23 +132,39 @@ class P2Transfer:
         self.coarse = coarse
         self.fine = fine
         self.dim = coarse.dim
+        self._repitch = coarse.dim == 3 and coarse.pitch != fine.pitch
+
+    def _c_in(self, uc):
+        if not self._repitch:
+            return uc
+        return flat.repitch(uc, self.coarse.M, self.coarse.pitch,
+                            self.fine.pitch)
+
+    def _c_out(self, rc):
+        if not self._repitch:
+            return rc
+        return flat.repitch(rc, self.coarse.M, self.fine.pitch,
+                            self.coarse.pitch)
 
     def prolongate_local(self, uc: jnp.ndarray) -> jnp.ndarray:
         dim = self.dim
         L = self.coarse.level
         n = 1 << L
+        uc = self._c_in(uc)
         node_offs = p2_node_offsets(dim)  # (T, nA, dim)
         gs_all, W = _fine_offsets_and_weights(dim)
-        masks = _class_fine_valid(dim, L)
-        Mf = self.fine.M
-        out = jnp.zeros((uc.shape[0],) + (Mf,) * dim, dtype=uc.dtype)
+        pitch = self.fine.pitch
+        masks = _class_fine_valid(dim, L, pitch)
+        out = jnp.zeros(
+            (uc.shape[0], self.fine.M, self.fine.node_space.lanes),
+            dtype=uc.dtype)
         for t in range(W.shape[0]):
             mask = jnp.asarray(masks[t], dtype=uc.dtype)
             reads = {}
             for A in range(node_offs.shape[1]):
                 o = tuple(int(x) for x in node_offs[t, A])
                 if o not in reads:
-                    reads[o] = _read2(uc, o, n, dim)
+                    reads[o] = _read2(uc, o, n, pitch, dim)
             seen = set()
             for k in range(gs_all.shape[1]):
                 G = tuple(int(x) for x in gs_all[t, k])
@@ -156,9 +180,9 @@ class P2Transfer:
                     acc = w * r if acc is None else acc + w * r
                 # write only where this class's base is valid; out positions
                 # of invalid bases keep their previous value
-                cur = _read4(out, G, n, dim)
+                cur = _read4(out, G, n, pitch, dim)
                 val = jnp.where(mask > 0, acc, cur)
-                out = _write4_set(out, val, G, n, dim)
+                out = _write4_set(out, val, G, n, pitch, dim)
         vm = jnp.asarray(self.fine.vertex_mask[None], dtype=uc.dtype)
         return out * vm
 
@@ -186,14 +210,17 @@ class P2Transfer:
             flat = flat.at[sf].set(flat[idx] * inv, mode="drop")
             rfs = flat.reshape(rf.shape)
         rfs = rfs * jnp.asarray(self.fine.vertex_mask[None], dtype=rf.dtype)
+        pitch = self.fine.pitch
         # within-cell element-multiplicity prescale
-        rfs = rfs / jnp.asarray(_elem_mult(dim, L), dtype=rf.dtype)[None]
+        rfs = rfs / jnp.asarray(_elem_mult(dim, L, pitch), dtype=rf.dtype)[None]
 
         node_offs = p2_node_offsets(dim)
         gs_all, W = _fine_offsets_and_weights(dim)
-        masks = _class_fine_valid(dim, L)
-        Mc = self.coarse.M
-        rc = jnp.zeros((rf.shape[0],) + (Mc,) * dim, dtype=rf.dtype)
+        masks = _class_fine_valid(dim, L, pitch)
+        rc = jnp.zeros(
+            (rf.shape[0], self.coarse.M, self.coarse.M * pitch if dim == 3
+             else self.coarse.M),
+            dtype=rf.dtype)
         for t in range(W.shape[0]):
             mask = jnp.asarray(masks[t], dtype=rf.dtype)
             seen = set()
@@ -201,7 +228,7 @@ class P2Transfer:
             for k in range(gs_all.shape[1]):
                 G = tuple(int(x) for x in gs_all[t, k])
                 if G not in reads:
-                    reads[G] = _read4(rfs, G, n, dim)
+                    reads[G] = _read4(rfs, G, n, pitch, dim)
             for A in range(node_offs.shape[1]):
                 acc = None
                 seen = set()
@@ -217,7 +244,9 @@ class P2Transfer:
                 if acc is None:
                     continue
                 rc = _write2_add(
-                    rc, acc * mask, tuple(int(x) for x in node_offs[t, A]), n, dim
+                    rc, acc * mask, tuple(int(x) for x in node_offs[t, A]), n,
+                    pitch, dim
                 )
+        rc = self._c_out(rc)
         rc = rc * jnp.asarray(self.coarse.vertex_mask[None], dtype=rf.dtype)
         return csp.exchange_add(rc, sd_c, axis_name)

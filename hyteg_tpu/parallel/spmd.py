@@ -56,22 +56,26 @@ class SpmdContext:
     stacked shard data and helpers to build sharded global DoF arrays."""
 
     def __init__(self, storage: CellStorage, mesh: Mesh,
-                 bc: BoundaryCondition | None = None):
+                 bc: BoundaryCondition | None = None,
+                 pitch: int | None = None):
         assert storage.num_shards == mesh.devices.size
         self.storage = storage
         self.mesh = mesh
         self.bc = bc or BoundaryCondition.all_dirichlet()
         self.num_devices = storage.num_shards
+        # shared lane pitch for GMG stacks (see indexing/flat.py); None ->
+        # every level uses its own natural pitch N
+        self.pitch = pitch
 
     def space(self, level: int, dtype=jnp.float32) -> P1Space:
-        return P1Space(self.storage, level, dtype)
+        return P1Space(self.storage, level, dtype, pitch=self.pitch)
 
     def stacked_sd(self, level: int):
         return self.space(level).stacked_shard_data(self.bc)
 
     def global_zeros(self, level: int, dtype=jnp.float32):
         sp = self.space(level, dtype)
-        shape = (self.storage.num_cells,) + (sp.N,) * sp.dim
+        shape = (self.storage.num_cells, sp.N, sp.lanes)
         sharding = NamedSharding(self.mesh, P(AXIS))
         return jax.device_put(jnp.zeros(shape, dtype), sharding)
 
@@ -158,6 +162,9 @@ def build_spmd_poisson_vcycle(
 
     form = form or _forms.laplace_form
     levels = list(range(min_level, max_level + 1))
+    if ctx.pitch is None and ctx.storage.dim == 3:
+        ctx = SpmdContext(ctx.storage, ctx.mesh, ctx.bc,
+                          pitch=(1 << max_level) + 1)
     coarse_fn = (build_agglomerated_coarse_solve(
         ctx, min_level, form, gmg_kwargs.get("coarse_iters", 100))
         if agglomerate_coarse else None)

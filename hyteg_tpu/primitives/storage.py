@@ -52,6 +52,7 @@ class P1LevelMaps:
     level: int
     dim: int
     N: int                       # micro-vertices per macro-edge
+    pitch: int                   # lane pitch of the flat 3D layout (== N in 2D)
     num_ifc: int                 # G
     slot_flat: np.ndarray        # (D, S) int32, flat index into local (C_loc * N^dim); == OOB for pad
     slot_gid: np.ndarray         # (D, S) int32, in [0, G); == G for padded slots
@@ -210,10 +211,13 @@ class CellStorage:
 
     # -- P1 level maps -------------------------------------------------------
 
-    def p1_level_maps(self, level: int) -> P1LevelMaps:
-        if level not in self._level_maps:
-            self._level_maps[level] = self._build_p1_maps(level)
-        return self._level_maps[level]
+    def p1_level_maps(self, level: int, pitch: int | None = None) -> P1LevelMaps:
+        if pitch is None:
+            pitch = (1 << level) + 1
+        key = (level, pitch)
+        if key not in self._level_maps:
+            self._level_maps[key] = self._build_p1_maps(level, pitch)
+        return self._level_maps[key]
 
     def _interface_layout(self, level: int):
         """Global interface-DoF id layout: [vertices | edge blocks | face blocks]."""
@@ -230,7 +234,7 @@ class CellStorage:
         G = off_edge + E * edge_int
         return off_edge, None, G, edge_int, 0
 
-    def _build_p1_maps(self, level: int) -> P1LevelMaps:
+    def _build_p1_maps(self, level: int, pitch: int) -> P1LevelMaps:
         n = 1 << level
         N = n + 1
         dim = self.dim
@@ -239,8 +243,9 @@ class CellStorage:
         off_edge, off_face, G, edge_int, face_int = self._interface_layout(level)
 
         # flat index of each boundary position within one cell block
+        # (3D flat layout: (N, N*pitch), lane = y*pitch + z; see indexing/flat.py)
         if dim == 3:
-            pos_flat = (pos[:, 0] * N + pos[:, 1]) * N + pos[:, 2]
+            pos_flat = pos[:, 0] * (N * pitch) + pos[:, 1] * pitch + pos[:, 2]
         else:
             pos_flat = pos[:, 0] * N + pos[:, 1]
 
@@ -303,7 +308,7 @@ class CellStorage:
         # --- assemble shard-major slot arrays -------------------------------
         D = self.num_shards
         C_loc = self.cells_per_shard
-        block = N**dim
+        block = N * N * pitch if dim == 3 else N * N
         S = C_loc * P  # includes slots of padding cells (masked below)
 
         slot_flat = np.zeros((D, S), dtype=np.int32)
@@ -356,6 +361,7 @@ class CellStorage:
             level=level,
             dim=dim,
             N=N,
+            pitch=pitch,
             num_ifc=G,
             slot_flat=slot_flat,
             slot_gid=slot_gid,

@@ -21,9 +21,10 @@ from ..indexing import micro
 
 
 @functools.lru_cache(maxsize=None)
-def parity_masks(level: int, dim: int):
-    """Tuple of 2^dim float32 masks over the (N,)*dim block."""
+def parity_masks(level: int, dim: int, pitch: int | None = None):
+    """Tuple of 2^dim float32 masks over the flat (N, lanes) block."""
     N = (1 << level) + 1
+    pitch = N if (pitch is None or dim == 2) else pitch
     grids = np.meshgrid(*([np.arange(N)] * dim), indexing="ij")
     vm = micro.vertex_mask(level, dim)
     out = []
@@ -32,6 +33,10 @@ def parity_masks(level: int, dim: int):
         m = vm.copy()
         for g, bit in zip(grids, bits):
             m = m & (g % 2 == bit)
+        if dim == 3:
+            from ..indexing import flat
+
+            m = flat.flatten_field(m, pitch)
         out.append(np.asarray(m, dtype=np.float32))
     return tuple(out)
 
@@ -46,10 +51,11 @@ def colored_gs_smooth(
     omega: float = 1.0,
     backward: bool = False,
     num_sweeps: int = 1,
+    pitch: int | None = None,
 ) -> jnp.ndarray:
     """Multi-color GS/SOR sweep: omega = 1 -> GS, else SOR
     (reference: smooth_gs / smooth_sor capability)."""
-    masks = parity_masks(level, dim)
+    masks = parity_masks(level, dim, pitch)
     order = list(reversed(range(len(masks)))) if backward else list(range(len(masks)))
 
     def sweep(x):
@@ -64,9 +70,12 @@ def colored_gs_smooth(
 
 
 def symmetric_colored_gs_smooth(apply_fn, inv_diag, b, x, level, dim,
-                                omega: float = 1.0, num_sweeps: int = 1):
+                                omega: float = 1.0, num_sweeps: int = 1,
+                                pitch: int | None = None):
     """Forward + backward sweep (reference: SymmetricGaussSeidelSmoother)."""
     for _ in range(num_sweeps):
-        x = colored_gs_smooth(apply_fn, inv_diag, b, x, level, dim, omega, False)
-        x = colored_gs_smooth(apply_fn, inv_diag, b, x, level, dim, omega, True)
+        x = colored_gs_smooth(apply_fn, inv_diag, b, x, level, dim, omega, False,
+                              pitch=pitch)
+        x = colored_gs_smooth(apply_fn, inv_diag, b, x, level, dim, omega, True,
+                              pitch=pitch)
     return x

@@ -87,12 +87,18 @@ def make_p1_gmg(
     """
     bc = bc or BoundaryCondition.all_dirichlet()
     lrange = range(min_level, max_level + 1)
+    # one lane pitch across all levels -> grid transfers are pure stride-2
+    # slicing on the flat layout (see indexing/flat.py)
     if space_kind == "p1":
-        spaces = {l: P1Space(storage, l, dtype=dtype) for l in lrange}
+        pitch = (1 << max_level) + 1
+        spaces = {l: P1Space(storage, l, dtype=dtype, pitch=pitch)
+                  for l in lrange}
     else:
         from ..functions.p2 import P2Space
 
-        spaces = {l: P2Space(storage, l, dtype=dtype) for l in lrange}
+        pitch = (1 << (max_level + 1)) + 1
+        spaces = {l: P2Space(storage, l, dtype=dtype, pitch=pitch)
+                  for l in lrange}
     if sd_per_level is None:
         sds = {l: spaces[l].shard_data(shard, bc) for l in lrange}
         traced = False

@@ -98,7 +98,9 @@ def make_stokes_gmg(
 ):
     """GMG solver over the Stokes composite with Uzawa smoothing."""
     lrange = range(min_level, max_level + 1)
-    stokes = {l: P2P1TaylorHoodStokes(storage, l, bc, viscosity) for l in lrange}
+    pitch = (1 << (max_level + 1)) + 1  # one lane pitch across all levels
+    stokes = {l: P2P1TaylorHoodStokes(storage, l, bc, viscosity, pitch=pitch)
+              for l in lrange}
     smoothers = {l: UzawaSmoother(stokes[l], flag, omega_p=omega_p,
                                   axis_name=axis_name) for l in lrange}
     vel_tr = {l: P2Transfer(stokes[l - 1].vel_space, stokes[l].vel_space)

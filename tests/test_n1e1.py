@@ -91,6 +91,7 @@ def test_curlcurl_kills_gradients():
 def _assemble_n1e1_dense(storage, sp, alpha, beta):
     """Independent numpy assembly of alpha*curlcurl + beta*mass."""
     gids = np.asarray(sp.node_space.global_ids(0))
+    gids_grid = np.asarray(sp.node_space.global_ids_grid(0))
     elm = np.asarray(n1e1_elmats(sp, alpha, beta))  # signed, (C,T,6,6)
     node_offs, _, _ = edge_tables(3)
     ndof = int(gids.max()) + 1
@@ -102,7 +103,7 @@ def _assemble_n1e1_dense(storage, sp, alpha, beta):
         for t in range(6):
             bases = np.argwhere(micro.elem_base_mask(sp.level, t, 3))
             for base in bases:
-                ids = [gids[(c,) + tuple(2 * base + node_offs[t, e])]
+                ids = [gids_grid[(c,) + tuple(2 * base + node_offs[t, e])]
                        for e in range(6)]
                 for i in range(6):
                     for j in range(6):

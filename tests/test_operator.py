@@ -42,7 +42,7 @@ def _assemble_dense(storage, space, elmat_fn):
     n = space.n
     offs = micro.offsets(dim)
     for shard in range(storage.num_shards):
-        gids = space.global_ids(shard)
+        gids = space.global_ids_grid(shard)
         verts_all = space.cell_vertices(shard)
         lo = shard * storage.cells_per_shard
         for c in range(storage.cells_per_shard):

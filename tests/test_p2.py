@@ -43,7 +43,7 @@ def _assemble_p2_dense(storage, p2, elmat_np):
     dim, n = p2.dim, p2.n
     offs = micro.offsets(dim)
     node_offs = p2_node_offsets(dim)
-    gids = p2.global_ids(0)
+    gids = p2.global_ids_grid(0)
     verts_all = p2.cell_vertices(0)
     for c in range(storage.cells_per_shard):
         if not storage.cell_valid[c]:
