@@ -63,7 +63,13 @@ class P2P1TaylorHoodStokes:
 
     def __init__(self, storage, level: int, bc: BoundaryCondition | None = None,
                  viscosity: float = 1.0, shard: int = 0,
-                 pitch: int | None = None):
+                 pitch: int | None = None, mu_field=None, epsilon: bool = False,
+                 full_viscous: bool = False):
+        """``mu_field``: nodal viscosity on the velocity node grid (or a
+        callable of coords) — switches K to the variable-viscosity epsilon
+        operator (reference: P2P1ElementwiseBlendingStokesOperator with
+        epsilon forms). ``epsilon`` forces the epsilon form at constant
+        viscosity; ``full_viscous`` adds the -2/3 mu div u div v term."""
         self.storage = storage
         self.level = level
         self.dim = storage.dim
@@ -77,10 +83,23 @@ class P2P1TaylorHoodStokes:
         self.pre_space = P1Space(storage, level, pitch=pitch)
         self.shard = shard
         self.visc = viscosity
-        self.K = P2ElementwiseOperator(self.vel_space, "laplace", shard)
-        self.B = P2ToP1DivOperator(self.vel_space, self.pre_space, shard)
         self._vel_sd = self.vel_space.shard_data(shard, self.bc)
         self._pre_sd = self.pre_space.shard_data(shard, BoundaryCondition.all_neumann())
+        self.use_epsilon = epsilon or full_viscous or (mu_field is not None)
+        if callable(mu_field):
+            mu_field = self.vel_space.interpolate(
+                mu_field, self.vel_space.zeros(), DoFType.ALL, self._vel_sd)
+        self.mu_field = mu_field
+        if self.use_epsilon:
+            from ..operators.p2_epsilon import P2VectorEpsilonOperator
+
+            self.K_eps = P2VectorEpsilonOperator(self.vel_space, shard,
+                                                 full=full_viscous)
+            self.K = None
+        else:
+            self.K = P2ElementwiseOperator(self.vel_space, "laplace", shard)
+            self.K_eps = None
+        self.B = P2ToP1DivOperator(self.vel_space, self.pre_space, shard)
 
     # -- vectors -------------------------------------------------------------
 
@@ -128,18 +147,38 @@ class P2P1TaylorHoodStokes:
 
     # -- operator ------------------------------------------------------------
 
+    def apply_K(self, vel: tuple, mu=None, axis_name=None) -> tuple:
+        """Viscous block only (componentwise Laplace or epsilon)."""
+        if self.use_epsilon:
+            mu = self.mu_field if mu is None else mu
+            ys = self.K_eps.apply_raw(vel, coeff=mu, sd=self._vel_sd,
+                                      axis_name=axis_name)
+            return tuple(self.visc * y for y in ys)
+        return tuple(
+            self.visc * self.K.apply_raw(v, sd=self._vel_sd,
+                                         axis_name=axis_name)
+            for v in vel
+        )
+
+    def K_inverse_diagonal(self, mu=None, axis_name=None) -> tuple:
+        """Per-component 1/diag of the viscous block."""
+        if self.use_epsilon:
+            mu = self.mu_field if mu is None else mu
+            ds = self.K_eps.inverse_diagonal(coeff=mu, sd=self._vel_sd,
+                                             axis_name=axis_name)
+            return tuple(d / self.visc for d in ds)
+        d = self.K.inverse_diagonal(sd=self._vel_sd, axis_name=axis_name)
+        return tuple(d / self.visc for _ in range(self.dim))
+
     def apply_raw(self, x: TaylorHoodVec, axis_name=None) -> TaylorHoodVec:
         """Full block apply (no row masking)."""
         vsp, psp = self.vel_space, self.pre_space
+        ku = self.apply_K(x.vel, axis_name=axis_name)
         out_v = []
         for d in range(self.dim):
-            ku = self.visc * self.K.apply_raw(x.vel[d], sd=self._vel_sd,
-                                              axis_name=axis_name)
-            # remove the exchanged value and recompute combined to save an
-            # exchange? keep simple: Bt p exchanged separately
             btp = self.B.apply_gradient_component_local(x.pre, d)
             btp = vsp.exchange_add(btp, self._vel_sd, axis_name)
-            out_v.append(ku + btp)
+            out_v.append(ku[d] + btp)
         div = self.B.apply_div_local(x.vel)
         div = psp.exchange_add(div, self._pre_sd, axis_name)
         return TaylorHoodVec(tuple(out_v), div)
@@ -161,20 +200,21 @@ class P2P1TaylorHoodStokes:
 
     # -- block-diagonal preconditioner ---------------------------------------
 
-    def block_diag_preconditioner(self):
+    def block_diag_preconditioner(self, axis_name=None):
         """SPD diagonal preconditioner: inverse diag of K per velocity
         component, inverse lumped P1 mass for pressure (reference:
         P2P1StokesBlockPreconditioner)."""
         from ..operators import forms
         from ..operators.p1_elementwise import P1ElementwiseOperator
 
-        kdiag = self.K.inverse_diagonal(sd=self._vel_sd) / self.visc
+        kdiag = self.K_inverse_diagonal(axis_name=axis_name)
         pmass = P1ElementwiseOperator(self.pre_space, forms.mass_form, self.shard)
-        pinv = pmass.lumped_inverse_diagonal(sd=self._pre_sd)
+        pinv = pmass.lumped_inverse_diagonal(sd=self._pre_sd,
+                                             axis_name=axis_name)
 
         def prec(r: TaylorHoodVec) -> TaylorHoodVec:
             return TaylorHoodVec(
-                tuple(kdiag * rv for rv in r.vel), pinv * r.pre
+                tuple(kd * rv for kd, rv in zip(kdiag, r.vel)), pinv * r.pre
             )
 
         return prec

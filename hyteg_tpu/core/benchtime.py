@@ -1,0 +1,62 @@
+"""Robust on-device timing for benchmarks.
+
+Through a remote-tunneled device (or any async dispatch path) per-call
+wall-clock timing measures RPC latency, not kernel time: a host->device
+round-trip costs ~20 ms while the kernel may take 20 us. The only robust
+methodology is the reference's (repeated apply inside the timed region,
+reference: apps/benchmarks/ApplyBenchmark/ApplyBenchmark.cpp:95-104) done
+the XLA way:
+
+  * run the op chained L times inside ONE jitted ``lax.scan``/``fori_loop``,
+  * force completion by fetching a result-dependent scalar to the host,
+  * measure at two lengths L1 < L2 and report the MARGINAL time per
+    iteration (L2 - L1 differencing removes fetch latency, dispatch cost
+    and any loop-invariant prologue).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _chain(step: Callable, length: int, unroll: bool = True):
+    """jit(x -> scalar) running ``step`` ``length`` times, chained.
+
+    Unrolled by default: scan-wrapped Pallas kernels have shown pathological
+    compile behavior through remote-compile backends, and an unrolled chain
+    re-uses the same compiled kernel anyway."""
+
+    def run(x):
+        y = x
+        if unroll:
+            for _ in range(length):
+                y = step(y)
+        else:
+            y, _ = jax.lax.scan(lambda c, _: (step(c), None), y, None,
+                                length=length)
+        leaves = jax.tree_util.tree_leaves(y)
+        return sum(jnp.sum(l) for l in leaves)
+
+    return jax.jit(run)
+
+def _best_time(fn, x, repeats: int) -> float:
+    float(fn(x))  # warm / compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(x))  # scalar fetch = true completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def marginal_time(step: Callable, x, l1: int = 8, l2: int = 32,
+                  repeats: int = 3) -> float:
+    """Marginal seconds per application of ``step`` (pytree -> pytree of the
+    same structure), measured as (t(l2) - t(l1)) / (l2 - l1)."""
+    t1 = _best_time(_chain(step, l1), x, repeats)
+    t2 = _best_time(_chain(step, l2), x, repeats)
+    return max((t2 - t1) / (l2 - l1), 1e-12)

@@ -154,7 +154,16 @@ class P1ElementwiseOperator:
 
     ``form``: callable (..., nv, dim) physical vertex coords -> (..., nv, nv).
     Variable-coefficient operators pass the nodal field via ``coeff=``.
+
+    When ``coeff`` is None the apply routes through the shell-resolved
+    constant-stencil fast path (kernels/p1_const_stencil.py — the analog of
+    the reference's generated 15-point kernels,
+    src/constant_stencil_operator/P1ConstantOperator.cpp:239-667): 15
+    shifted reads instead of 96 masked accumulation passes.
     """
+
+    #: module-wide switch for the constant-stencil fast path
+    use_const_stencil: bool = True
 
     def __init__(self, space: P1Space, form, shard: int = 0, elmats=None):
         self.space = space
@@ -165,6 +174,10 @@ class P1ElementwiseOperator:
                 space, form, jnp.asarray(space.cell_vertices(shard))
             )
         self.elmats = elmats
+        from ..kernels.p1_const_stencil import face_weights, stencil_weights
+
+        self.stencil = stencil_weights(elmats, space.dim)
+        self.stencil_face = face_weights(elmats, space.dim)
 
     @classmethod
     def from_shard_data(cls, space: P1Space, form, sd: P1ShardData):
@@ -173,19 +186,51 @@ class P1ElementwiseOperator:
 
     # -- raw array API (used by solvers inside jit) --------------------------
 
+    def _apply_local(self, x, coeff):
+        """Per-cell partial apply (no exchange)."""
+        sp = self.space
+        if coeff is None and P1ElementwiseOperator.use_const_stencil:
+            from ..kernels.p1_const_stencil import (
+                p1_const_apply_pallas, p1_const_apply_xla)
+
+            if _use_pallas():
+                return p1_const_apply_pallas(x, self.stencil,
+                                             self.stencil_face, sp.level,
+                                             sp.dim, sp.pitch)
+            return p1_const_apply_xla(x, self.stencil, sp.level, sp.dim,
+                                      sp.pitch, E=self.stencil_face)
+        if _use_pallas():
+            from ..kernels.p1_stencil import p1_apply_local_pallas_flat
+
+            return p1_apply_local_pallas_flat(x, self.elmats, sp.level,
+                                              sp.dim, sp.pitch, coeff)
+        return p1_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch,
+                              coeff)
+
     def apply_raw(self, x, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
         """Full A x on every row (interface rows exchanged additively)."""
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        if _use_pallas():
-            from ..kernels.p1_stencil import p1_apply_local_pallas_flat
-
-            y = p1_apply_local_pallas_flat(x, self.elmats, sp.level, sp.dim,
-                                           sp.pitch, coeff)
-        else:
-            y = p1_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch,
-                               coeff)
+        y = self._apply_local(x, coeff)
         return sp.exchange_add(y, sd, axis_name)
+
+    def gemv(self, x, y, alpha=1.0, beta=1.0, coeff=None, sd=None,
+             axis_name=None) -> jnp.ndarray:
+        """alpha * A x + beta * y in one fused pass
+        (reference: P1ElementwiseOperator gemv, P1ElementwiseOperator.cpp:67).
+
+        The axpy epilogue fuses with the exchange scatter under jit, saving
+        a separate full-array pass per smoother step / residual."""
+        sp = self.space
+        sd = sp.resolve_sd(sd, self.shard)
+        z = self._apply_local(x, coeff)
+        z = sp.exchange_add(z, sd, axis_name)
+        return alpha * z + beta * y
+
+    def residual(self, x, b, coeff=None, sd=None, axis_name=None):
+        """b - A x (fused)."""
+        return self.gemv(x, b, alpha=-1.0, beta=1.0, coeff=coeff, sd=sd,
+                         axis_name=axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
                     coeff=None, axis_name=None) -> jnp.ndarray:

@@ -25,55 +25,69 @@ from .smoothers import chebyshev_smooth, estimate_spectral_radius
 
 
 class UzawaSmoother:
-    """One inexact-Uzawa sweep on the Stokes system."""
+    """One inexact-Uzawa sweep on the Stokes system.
+
+    Fully traceable (no host concretization): ``eig_max`` stays a traced
+    scalar, so the smoother can be constructed inside jit / shard_map
+    (reference: UzawaSmoother.hpp:99; the damping estimation is the
+    spectral-radius power iteration of ChebyshevSmoother.hpp:558-717).
+    The velocity half-step smooths the full (possibly component-coupled
+    epsilon) viscous block with Chebyshev over the stacked components.
+    """
 
     def __init__(self, stokes: P2P1TaylorHoodStokes, flag: DoFType = FLAG_INNER,
                  vel_smooth_order: int = 3, omega_p: float = 0.3,
-                 eig_max: float | None = None, axis_name=None):
+                 eig_max=None, axis_name=None):
         self.st = stokes
         self.flag = flag
         self.order = vel_smooth_order
         self.omega_p = omega_p
         self.axis_name = axis_name
         st = stokes
-        self.k_invdiag = st.K.inverse_diagonal(sd=st._vel_sd,
-                                               axis_name=axis_name) / st.visc
+        self.k_invdiag = jnp.stack(
+            st.K_inverse_diagonal(axis_name=axis_name))
         pmass = P1ElementwiseOperator(st.pre_space, forms.mass_form, st.shard)
         self.pmass_inv = pmass.lumped_inverse_diagonal(sd=st._pre_sd,
                                                        axis_name=axis_name)
         if eig_max is None:
-            apply_k = lambda v: st.visc * st.vel_space.restore_rows(
-                st.K.apply_raw(v, sd=st._vel_sd, axis_name=axis_name),
-                jnp.zeros_like(v), flag, st._vel_sd)
-            dot_v = lambda u, v: st.vel_space.dot(u, v, flag, st._vel_sd,
-                                                  axis_name)
-            lam = estimate_spectral_radius(
-                apply_k, self.k_invdiag, dot_v, st.vel_space.block_shape,
-                num_iter=20)
-            eig_max = float(jax.jit(lambda: lam)())
+            dot_v = lambda u, v: sum(
+                st.vel_space.dot(u[d], v[d], flag, st._vel_sd, axis_name)
+                for d in range(st.dim)
+            )
+            eig_max = estimate_spectral_radius(
+                self._apply_k_stacked, self.k_invdiag, dot_v,
+                (st.dim,) + st.vel_space.block_shape, num_iter=20)
         self.eig_max = eig_max
+
+    def _apply_k_stacked(self, v):
+        """K on stacked (dim, C, ...) velocity, rows restricted to flag."""
+        st = self.st
+        ys = st.apply_K(tuple(v[d] for d in range(st.dim)),
+                        axis_name=self.axis_name)
+        return jnp.stack([
+            st.vel_space.restore_rows(y, jnp.zeros_like(y), self.flag,
+                                      st._vel_sd)
+            for y in ys
+        ])
 
     def __call__(self, x: TaylorHoodVec, b: TaylorHoodVec) -> TaylorHoodVec:
         st, flag = self.st, self.flag
 
-        # velocity half-step: smooth K u = f - Bt p componentwise
-        def apply_k(v):
-            y = st.visc * st.K.apply_raw(v, sd=st._vel_sd,
-                                         axis_name=self.axis_name)
-            return st.vel_space.restore_rows(y, jnp.zeros_like(y), flag,
-                                             st._vel_sd)
-
-        new_vel = []
+        # velocity half-step: smooth K u = f - Bt p (coupled components)
+        rhs = []
         for d in range(st.dim):
             btp = st.B.apply_gradient_component_local(x.pre, d)
             btp = st.vel_space.exchange_add(btp, st._vel_sd, self.axis_name)
             btp = st.vel_space.restore_rows(btp, jnp.zeros_like(btp), flag,
                                             st._vel_sd)
-            rhs = b.vel[d] - btp
-            u = chebyshev_smooth(apply_k, self.k_invdiag, rhs, x.vel[d],
-                                 self.eig_max, order=self.order)
-            u = st.vel_space.restore_rows(u, x.vel[d], flag, st._vel_sd)
-            new_vel.append(u)
+            rhs.append(b.vel[d] - btp)
+        u = chebyshev_smooth(self._apply_k_stacked, self.k_invdiag,
+                             jnp.stack(rhs), jnp.stack(x.vel),
+                             self.eig_max, order=self.order)
+        new_vel = [
+            st.vel_space.restore_rows(u[d], x.vel[d], flag, st._vel_sd)
+            for d in range(st.dim)
+        ]
 
         # pressure update: p <- p + omega * Minv (B u - g)
         div = st.B.apply_div_local(tuple(new_vel))
@@ -95,13 +109,24 @@ def make_stokes_gmg(
     coarse_iters: int = 80,
     flag: DoFType = FLAG_INNER,
     axis_name=None,
+    mu=None,
+    epsilon: bool = False,
+    full_viscous: bool = False,
+    eigs: dict | None = None,
 ):
-    """GMG solver over the Stokes composite with Uzawa smoothing."""
+    """GMG solver over the Stokes composite with Uzawa smoothing.
+
+    ``mu``: callable of coords (or None) — variable-viscosity epsilon
+    operator on every level. ``eigs``: optional per-level eig_max overrides
+    (skips the power iteration, e.g. inside shard_map traces)."""
     lrange = range(min_level, max_level + 1)
     pitch = (1 << (max_level + 1)) + 1  # one lane pitch across all levels
-    stokes = {l: P2P1TaylorHoodStokes(storage, l, bc, viscosity, pitch=pitch)
+    stokes = {l: P2P1TaylorHoodStokes(storage, l, bc, viscosity, pitch=pitch,
+                                      mu_field=mu, epsilon=epsilon,
+                                      full_viscous=full_viscous)
               for l in lrange}
     smoothers = {l: UzawaSmoother(stokes[l], flag, omega_p=omega_p,
+                                  eig_max=(eigs or {}).get(l),
                                   axis_name=axis_name) for l in lrange}
     vel_tr = {l: P2Transfer(stokes[l - 1].vel_space, stokes[l].vel_space)
               for l in range(min_level + 1, max_level + 1)}
@@ -156,7 +181,7 @@ def make_stokes_gmg(
         )
 
     st_c = stokes[min_level]
-    prec = st_c.block_diag_preconditioner()
+    prec = st_c.block_diag_preconditioner(axis_name=axis_name)
 
     def coarse_solve(bc_vec, x0):
         x, _, _ = minres_solve(
