@@ -64,12 +64,16 @@ class P2P1TaylorHoodStokes:
     def __init__(self, storage, level: int, bc: BoundaryCondition | None = None,
                  viscosity: float = 1.0, shard: int = 0,
                  pitch: int | None = None, mu_field=None, epsilon: bool = False,
-                 full_viscous: bool = False):
+                 full_viscous: bool = False, vel_sd=None, pre_sd=None):
         """``mu_field``: nodal viscosity on the velocity node grid (or a
         callable of coords) — switches K to the variable-viscosity epsilon
         operator (reference: P2P1ElementwiseBlendingStokesOperator with
         epsilon forms). ``epsilon`` forces the epsilon form at constant
-        viscosity; ``full_viscous`` adds the -2/3 mu div u div v term."""
+        viscosity; ``full_viscous`` adds the -2/3 mu div u div v term.
+
+        ``vel_sd``/``pre_sd``: traced per-device shard data — pass inside
+        shard_map so the whole composite (element matrices included) builds
+        from the device-local maps."""
         self.storage = storage
         self.level = level
         self.dim = storage.dim
@@ -83,8 +87,12 @@ class P2P1TaylorHoodStokes:
         self.pre_space = P1Space(storage, level, pitch=pitch)
         self.shard = shard
         self.visc = viscosity
-        self._vel_sd = self.vel_space.shard_data(shard, self.bc)
-        self._pre_sd = self.pre_space.shard_data(shard, BoundaryCondition.all_neumann())
+        self._vel_sd = (vel_sd if vel_sd is not None
+                        else self.vel_space.shard_data(shard, self.bc))
+        self._pre_sd = (pre_sd if pre_sd is not None
+                        else self.pre_space.shard_data(
+                            shard, BoundaryCondition.all_neumann()))
+        cv = self._vel_sd.cell_vertices
         self.use_epsilon = epsilon or full_viscous or (mu_field is not None)
         if callable(mu_field):
             mu_field = self.vel_space.interpolate(
@@ -94,12 +102,18 @@ class P2P1TaylorHoodStokes:
             from ..operators.p2_epsilon import P2VectorEpsilonOperator
 
             self.K_eps = P2VectorEpsilonOperator(self.vel_space, shard,
-                                                 full=full_viscous)
+                                                 full=full_viscous,
+                                                 cell_vertices=cv)
             self.K = None
         else:
-            self.K = P2ElementwiseOperator(self.vel_space, "laplace", shard)
+            self.K = P2ElementwiseOperator.from_shard_data(
+                self.vel_space, "laplace", self._vel_sd)
             self.K_eps = None
-        self.B = P2ToP1DivOperator(self.vel_space, self.pre_space, shard)
+        from ..operators.mixed import compute_divergence_elmats
+
+        self.B = P2ToP1DivOperator(
+            self.vel_space, self.pre_space, shard,
+            elmats=compute_divergence_elmats(self.vel_space, cv))
 
     # -- vectors -------------------------------------------------------------
 
@@ -170,10 +184,12 @@ class P2P1TaylorHoodStokes:
         d = self.K.inverse_diagonal(sd=self._vel_sd, axis_name=axis_name)
         return tuple(d / self.visc for _ in range(self.dim))
 
-    def apply_raw(self, x: TaylorHoodVec, axis_name=None) -> TaylorHoodVec:
-        """Full block apply (no row masking)."""
+    def apply_raw(self, x: TaylorHoodVec, axis_name=None,
+                  mu=None) -> TaylorHoodVec:
+        """Full block apply (no row masking). ``mu``: per-call nodal
+        viscosity override (e.g. eta(T) updated every time step)."""
         vsp, psp = self.vel_space, self.pre_space
-        ku = self.apply_K(x.vel, axis_name=axis_name)
+        ku = self.apply_K(x.vel, mu=mu, axis_name=axis_name)
         out_v = []
         for d in range(self.dim):
             btp = self.B.apply_gradient_component_local(x.pre, d)
@@ -184,10 +200,10 @@ class P2P1TaylorHoodStokes:
         return TaylorHoodVec(tuple(out_v), div)
 
     def apply_inner(self, x: TaylorHoodVec, flag: DoFType = FLAG_INNER,
-                    axis_name=None) -> TaylorHoodVec:
+                    axis_name=None, mu=None) -> TaylorHoodVec:
         """Velocity rows restricted to ``flag`` (Dirichlet rows zeroed);
         pressure rows free."""
-        y = self.apply_raw(x, axis_name)
+        y = self.apply_raw(x, axis_name, mu=mu)
         vel = tuple(
             self.vel_space.restore_rows(y.vel[d], jnp.zeros_like(y.vel[d]),
                                         flag, self._vel_sd)
@@ -200,15 +216,16 @@ class P2P1TaylorHoodStokes:
 
     # -- block-diagonal preconditioner ---------------------------------------
 
-    def block_diag_preconditioner(self, axis_name=None):
+    def block_diag_preconditioner(self, axis_name=None, mu=None):
         """SPD diagonal preconditioner: inverse diag of K per velocity
         component, inverse lumped P1 mass for pressure (reference:
         P2P1StokesBlockPreconditioner)."""
         from ..operators import forms
         from ..operators.p1_elementwise import P1ElementwiseOperator
 
-        kdiag = self.K_inverse_diagonal(axis_name=axis_name)
-        pmass = P1ElementwiseOperator(self.pre_space, forms.mass_form, self.shard)
+        kdiag = self.K_inverse_diagonal(mu=mu, axis_name=axis_name)
+        pmass = P1ElementwiseOperator.from_shard_data(
+            self.pre_space, forms.mass_form, self._pre_sd)
         pinv = pmass.lumped_inverse_diagonal(sd=self._pre_sd,
                                              axis_name=axis_name)
 

@@ -20,18 +20,20 @@ The weight c_s(p) is position dependent only near the four macro-tet faces:
     j(t,a) = margin_t - S(off_a) > n - S(p)  (shell correction, as in the
     reference's stencil assembly);
   * the coordinate faces p_i = 0 lose the terms with off_a_i = 1 (the
-    element's base would need p_i - 1 = -1).  With *strictly zero-filled*
-    shifted reads, dropped terms whose read target also leaves the block
-    contribute zero by themselves, so only terms with i in
-    supp(off_a) & supp(off_b) need explicit correction; multi-face overlap
-    (edges/corner) is handled by inclusion-exclusion over face subsets G
-    with sign (-1)^(|G|+1).
+    element's base would need p_i - 1 = -1); inclusion-exclusion over face
+    subsets G <= supp(off_a) with sign (-1)^(|G|+1) handles multi-face
+    overlap (edges/corner).
 
-All tables are static; the apply is 15 zero-filled shifted reads and
-~60 fused multiply-accumulate passes over the block (vs. the 96 masked
-accumulation passes + per-(class,vertex) rolls of the general elementwise
-path). Verified against the general path / dense assembly in
-tests/test_const_stencil.py (CPU + Pallas interpret mode).
+The resulting weights are *pointwise exact*, which buys a crucial kernel
+property: any read whose target leaves the macro-tet (wrapped rolls, lane
+aliasing across y-rows, block padding) is multiplied by an exactly zero
+coefficient — so shifted reads need no zero-fill masks at all. All tables
+are static; the apply is 15 shifted reads and ~45 full-tile
+multiply-accumulate passes (vs. the 96 masked accumulation passes of the
+general elementwise path), with the face corrections confined to the first
+sublane tile / lane sub-slices where the layout allows. Verified against
+the general path / dense assembly in tests/test_const_stencil.py
+(CPU + Pallas interpret mode).
 """
 
 from __future__ import annotations
@@ -97,21 +99,17 @@ def _structural_nonzero(dim: int):
 
 
 @functools.lru_cache(maxsize=None)
-def face_tables(dim: int):
-    """Signed scatter tables for the coordinate-face corrections.
+def face_tables_full(dim: int):
+    """Like face_tables but with G <= supp(off_a) only (no off_b condition).
 
-    Under strict zero-fill reads, the invalid contributions at p_i = 0 that
-    survive are those with i in supp(off_a) & supp(off_b).  For every
-    nonempty G subset coords, j and direction s:
-
-        E[g, j, s] = (-1)^{|G|+1} * sum of elm[t,a,b] over
-                     {(t,a,b): dir = s, j(t,a) = j, G <= supp(a) & supp(b)}
-
-    Returns (groups: tuple of G-tuples, tab (rows, 2) int columns
-    (flat gjs index, sign embedded in duplication) ...) — concretely a
-    scatter map from the flat (t,a,b) element-matrix entries into the
-    (n_G, n_j, n_s) correction tensor with per-row signs.
-    """
+    These corrections make the stencil weights *pointwise exact* regardless
+    of read semantics: any read whose target leaves the macro-tet (wrapped
+    rolls, lane aliasing, out-of-block garbage) is multiplied by an exactly
+    zero total weight, because no valid element couples p with an
+    out-of-tet node.  This is what the Pallas kernel uses — no per-direction
+    zero-fill masks needed.
+    Returns (groups, (n_G, n_j, n_s) dense numpy scatter info) like
+    face_tables."""
     offs = micro.offsets(dim)
     margins = micro.base_margin(dim)
     T, nv = offs.shape[0], offs.shape[1]
@@ -125,13 +123,10 @@ def face_tables(dim: int):
     for t in range(T):
         for a in range(nv):
             j = int(margins[t]) - int(offs[t, a].sum())
+            supp = tuple(i for i in range(dim) if offs[t, a, i] == 1)
+            if not supp:
+                continue
             for b in range(nv):
-                supp = tuple(
-                    i for i in range(dim)
-                    if offs[t, a, i] == 1 and offs[t, b, i] == 1
-                )
-                if not supp:
-                    continue
                 s = key[tuple(int(x) for x in offs[t, b] - offs[t, a])]
                 src_row = (t * nv + a) * nv + b
                 for r in range(1, len(supp) + 1):
@@ -148,9 +143,9 @@ def face_tables(dim: int):
     )
 
 
-def face_weights(elmats: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """(C, n_G, n_j, n_s) signed face-correction weights (traceable)."""
-    groups, rows, cols, signs, n_j = face_tables(dim)
+def face_weights_full(elmats: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(C, n_G, n_j, n_s) signed full-scheme face corrections (traceable)."""
+    groups, rows, cols, signs, n_j = face_tables_full(dim)
     dirs, _, _ = stencil_tables(dim)
     C = elmats.shape[0]
     flatm = elmats.reshape(C, -1)
@@ -161,55 +156,12 @@ def face_weights(elmats: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _face_nonzero(dim: int):
-    """(n_G, n_j, n_s) bool: which correction slots are structurally
-    nonzero."""
-    groups, rows, cols, signs, n_j = face_tables(dim)
+def _face_nonzero_full(dim: int):
+    groups, rows, cols, signs, n_j = face_tables_full(dim)
     dirs, _, _ = stencil_tables(dim)
     nz = np.zeros(len(groups) * n_j * dirs.shape[0], dtype=bool)
     nz[cols] = True
     return nz.reshape(len(groups), n_j, dirs.shape[0])
-
-
-@functools.lru_cache(maxsize=None)
-def _lane_valid_masks(level: int, dim: int, pitch: int):
-    """Per-direction strict read-validity lane masks.
-
-    mask[s] is a (lanes,) float32 0/1 vector — 1 where the flat lane shift
-    for direction s stays inside the (y, z) box [0,N)^2 (3D) / z box (2D).
-    The sublane (x) component is handled separately by a row mask."""
-    dirs, _, _ = stencil_tables(dim)
-    N = (1 << level) + 1
-    if dim == 2:
-        z = np.arange(N)
-        out = []
-        for s in dirs:
-            sz = int(s[1])
-            out.append(((z + sz >= 0) & (z + sz < N)).astype(np.float32))
-        return tuple(out)
-    y, z = flat.yz_maps(N, pitch)
-    out = []
-    for s in dirs:
-        sy, sz = int(s[1]), int(s[2])
-        ok = (
-            (y + sy >= 0) & (y + sy < N) & (z + sz >= 0) & (z + sz < N)
-            & (z < N)
-        )
-        out.append(ok.astype(np.float32))
-    return tuple(out)
-
-
-def _strict_reads(src, level: int, dim: int, pitch: int, lane_masks=None):
-    """List of strictly zero-filled shifted reads r_s (XLA path)."""
-    dirs, _, _ = stencil_tables(dim)
-    if lane_masks is None:
-        lane_masks = _lane_valid_masks(level, dim, pitch)
-    reads = []
-    for i in range(dirs.shape[0]):
-        r = flat.shift_read(src, tuple(int(x) for x in dirs[i]), pitch, dim)
-        m = jnp.asarray(lane_masks[i], dtype=src.dtype)
-        reads.append(r * m[None, None, :] if dim == 3 else r * m[None, None, :])
-    return reads
 
 
 @functools.lru_cache(maxsize=None)
@@ -252,7 +204,7 @@ def _combine(reads, main_w, main_tail, face_w, dim, masks):
     masks: (K0, shells, faces) arrays broadcastable against reads.
     """
     dirs, _, n_j = stencil_tables(dim)
-    groups, *_ = face_tables(dim)
+    groups, *_ = face_tables_full(dim)
     K0, shells, faces = masks
     n_s = dirs.shape[0]
 
@@ -305,7 +257,7 @@ def _xla_accessors(A, E, dim, dtype):
     """Weight accessors for the XLA path ((C, 1, 1)-shaped factors)."""
     _, _, n_j = stencil_tables(dim)
     nzs = _structural_nonzero(dim)
-    nzf = _face_nonzero(dim)
+    nzf = _face_nonzero_full(dim)
 
     def wk(arr):
         return arr.reshape(-1, 1, 1).astype(dtype)
@@ -332,10 +284,18 @@ def _xla_accessors(A, E, dim, dtype):
 
 def p1_const_apply_xla(src2d, A, level: int, dim: int, pitch: int, E=None):
     """Pure-XLA constant-stencil apply (CPU fallback; exact same math as
-    the Pallas kernel — partial sums on interface rows)."""
+    the Pallas kernel — partial sums on interface rows).
+
+    Reads are plain flat shifts (ends zero-filled, lane aliasing allowed):
+    the full-scheme weights are pointwise exact, so every out-of-tet read
+    carries a zero coefficient (see face_tables_full)."""
     if E is None:
-        raise ValueError("pass E = face_weights(elmats, dim)")
-    reads = _strict_reads(src2d, level, dim, pitch)
+        raise ValueError("pass E = face_weights_full(elmats, dim)")
+    dirs, _, _ = stencil_tables(dim)
+    reads = [
+        flat.shift_read(src2d, tuple(int(x) for x in dirs[i]), pitch, dim)
+        for i in range(dirs.shape[0])
+    ]
     K0, shells, faces = _mask_arrays(level, dim, pitch)
     masks = (
         jnp.asarray(K0, dtype=src2d.dtype),
@@ -351,73 +311,222 @@ def p1_const_apply_xla(src2d, A, level: int, dim: int, pitch: int, E=None):
 # ---------------------------------------------------------------------------
 
 
-def _make_const_kernel(level: int, dim: int, pitch: int, n_g: int, n_j: int):
+_TX = 8  # sublane tile height (one f32 register tile)
+
+
+def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
+    """Sublane-tiled streaming kernel: grid (C, NT), dst tile (Tx, L).
+
+    Per direction the shifted read is built from three dst-aligned src
+    tiles (prev/cur/next rows) by a sublane roll + one-row splice, then a
+    lane roll; weights use the *full* face-correction scheme
+    (face_tables_full) so every out-of-tet read carries an exactly zero
+    weight — wrapped rolls need no masks.  Face corrections are confined:
+    x-face terms run only on the first tile (pl.when), y/z-face terms on
+    lane sub-slices where the layout allows.
+    """
     n = 1 << level
     N = n + 1
     L = N * pitch if dim == 3 else N
     dirs, _, _ = stencil_tables(dim)
     n_s = dirs.shape[0]
-    roll_read, _ = _roll_helpers(N, L, pitch, dim)
-
     nzs = _structural_nonzero(dim)
-    nzf = _face_nonzero(dim)
+    groups, *_ = face_tables_full(dim)
+    nzf = _face_nonzero_full(dim)
+    n_g = len(groups)
+    TX = min(_TX, max(8, N))
+    NT = -(-N // TX)
 
-    def kernel(w_ref, e_ref, yz_ref, src_ref, dst_ref):
-        # yz_ref: (2, L) int32 rows [y_of_lane, z_of_lane] (2D: [z, z])
+    def lane_shift(off):
+        return int(off[-1]) if dim == 2 else int(off[1]) * pitch + int(off[2])
+
+    def kernel(w_ref, e_ref, yz_ref, prv_ref, cur_ref, nxt_ref, dst_ref):
         c = pl.program_id(0)
+        i = pl.program_id(1)
         dt = dst_ref.dtype
-        xs = jax.lax.broadcasted_iota(jnp.int32, (N, L), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TX, L), 0)
+        xs = rows + i * TX
         ly = yz_ref[0, :][None, :]
         lz = yz_ref[1, :][None, :]
-        in_z = lz < N  # excludes 3D padding lanes
+        in_z = lz < N if dim == 3 else (lz >= 0)
         s_sum = xs + ly + lz if dim == 3 else xs + lz
         K0 = ((s_sum <= n) & in_z).astype(dt)
-        shells = tuple(
+        shells = [
             ((s_sum == n - m) & in_z).astype(dt) for m in range(n_j - 1)
-        )
-        coord = (xs, ly, lz) if dim == 3 else (xs, lz)
-        faces = tuple((c_ == 0).astype(dt) * K0 for c_ in coord)
-        masks = (K0, shells, faces)
-        reads = []
-        for s in range(n_s):
+        ]
+
+        # Rows past N in the (padded) last tile hold unspecified values
+        # (NaN in interpret mode) — NaN * 0 would leak through the
+        # exact-zero weights, so select them to zero once up front; same
+        # for the spliced halo rows from the clamped prev/next tiles.
+        cur = jnp.where(xs < N, cur_ref[0], 0.0)
+        prow = (jnp.clip(i - 1, 0, NT - 1) * TX + TX - 1) < N
+        prv_row = jnp.where(prow, prv_ref[0, TX - 1:TX, :], 0.0)
+        nrow = (jnp.clip(i + 1, 0, NT - 1) * TX) < N
+        nxt_row = jnp.where(nrow, nxt_ref[0, 0:1, :], 0.0)
+
+        def read(s):
             off = tuple(int(x) for x in dirs[s])
-            r = roll_read(src_ref[0], off)
-            # strict zero fill: mask wrapped lanes / rows
-            if dim == 3:
-                sy, sz = off[1], off[2]
-                ok = (ly + sy >= 0) & (ly + sy < N) & (lz + sz >= 0) \
-                    & (lz + sz < N) & in_z
-            else:
-                sz = off[1]
-                ok = (lz + sz >= 0) & (lz + sz < N)
             sx = off[0]
-            if sx != 0:
-                ok = ok & (xs + sx >= 0) & (xs + sx < N)
-            reads.append(r * ok.astype(dt))
+            if sx == 0:
+                v = cur
+            elif sx == 1:
+                v = pltpu.roll(cur, TX - 1, axis=0)
+                v = jnp.where(rows == TX - 1,
+                              jnp.broadcast_to(nxt_row, (TX, L)), v)
+            else:
+                v = pltpu.roll(cur, 1, axis=0)
+                v = jnp.where(rows == 0,
+                              jnp.broadcast_to(prv_row, (TX, L)), v)
+            ls = lane_shift(off)
+            if ls:
+                v = pltpu.roll(v, L - ls if ls > 0 else -ls, axis=1)
+            return v
 
-        def main_w(s):
-            w = w_ref[c, s * n_j]
-            for j in range(1, n_j):
-                w = w + w_ref[c, s * n_j + j]
+        def wsum(ref, idxs):
+            w = ref[c, idxs[0]]
+            for k in idxs[1:]:
+                w = w + ref[c, k]
             return w
 
-        def main_tail(s, m):
-            js = [j for j in range(m + 1, n_j) if nzs[s, j]]
-            if not js:
-                return None
-            w = w_ref[c, s * n_j + js[0]]
-            for j in js[1:]:
-                w = w + w_ref[c, s * n_j + j]
-            return w
+        # stream directions: one read, immediately folded into all
+        # accumulators that use it
+        acc_w = None
+        acc_m = [None] * (n_j - 1)
+        accg_tot = [None] * n_g
+        accg_j1 = [None] * n_g
+        reads = {}
+        for s in range(n_s):
+            r = read(s)
+            reads[s] = r
+            term = wsum(w_ref, [s * n_j + j for j in range(n_j)]) * r
+            acc_w = term if acc_w is None else acc_w + term
+            for m in range(n_j - 1):
+                js = [j for j in range(m + 1, n_j) if nzs[s, j]]
+                if not js:
+                    continue
+                t2 = wsum(w_ref, [s * n_j + j for j in js]) * r
+                acc_m[m] = t2 if acc_m[m] is None else acc_m[m] + t2
+            # full-tile face groups (those not confined below)
+            for g, G in enumerate(groups):
+                if not _confine_cheap(G, dim):
+                    for j in range(n_j):
+                        if not nzf[g, j, s]:
+                            continue
+                        w = e_ref[c, (g * n_j + j) * n_s + s]
+                        t3 = w * r
+                        if j <= 0:
+                            accg_tot[g] = (t3 if accg_tot[g] is None
+                                           else accg_tot[g] + t3)
+                        else:
+                            accg_tot[g] = (t3 if accg_tot[g] is None
+                                           else accg_tot[g] + t3)
+                            accg_j1[g] = (t3 if accg_j1[g] is None
+                                          else accg_j1[g] + t3)
 
-        def face_w(g, j, s):
-            if not nzf[g, j, s]:
-                return None
-            return e_ref[c, (g * n_j + j) * n_s + s]
+        dst = K0 * acc_w
+        for m in range(n_j - 1):
+            if acc_m[m] is not None:
+                dst = dst - shells[m] * acc_m[m]
 
-        dst_ref[0] = _combine(reads, main_w, main_tail, face_w, dim, masks)
+        # full-tile face corrections (e.g. the strided z = 0 plane in 3D)
+        coord = (xs, ly, lz) if dim == 3 else (xs, lz)
+        for g, G in enumerate(groups):
+            if _confine_cheap(G, dim) or accg_tot[g] is None:
+                continue
+            sigma = K0
+            for ci in G:
+                sigma = sigma * (coord[ci] == 0).astype(dt)
+            total = accg_tot[g]
+            if accg_j1[g] is not None:
+                total = total - shells[0] * accg_j1[g]
+            dst = dst - sigma * total
 
-    return kernel, N, L, n_s
+        # confined face corrections: x-containing groups only touch global
+        # row 0 (tile i == 0); pure-lane groups use lane sub-slices.
+        def lane_corr(g, G):
+            """Correction on the lane slice [0:W) (y-face / 2D z-face)."""
+            W = pitch if (dim == 3 and G == (1,)) else 1
+            sl = slice(0, W)
+            sigma = K0[:, sl]
+            for ci in G:
+                sigma = sigma * (coord[ci][:, sl] == 0).astype(dt)
+            tot, j1 = None, None
+            for j in range(n_j):
+                for s in range(n_s):
+                    if not nzf[g, j, s]:
+                        continue
+                    w = e_ref[c, (g * n_j + j) * n_s + s]
+                    t3 = w * reads[s][:, sl]
+                    tot = t3 if tot is None else tot + t3
+                    if j == 1:
+                        j1 = t3 if j1 is None else j1 + t3
+            if tot is None:
+                return None, sl
+            total = tot if j1 is None else tot - shells[0][:, sl] * j1
+            return sigma * total, sl
+
+        lane_groups = [
+            (g, G) for g, G in enumerate(groups)
+            if _confine_cheap(G, dim) and 0 not in G
+        ]
+        for g, G in lane_groups:
+            corrs, sl = lane_corr(g, G)
+            if corrs is not None:
+                dst = dst.at[:, sl].add(-corrs)
+
+        # x-containing groups: only global row 0 -> first tile
+        xg = [(g, G) for g, G in enumerate(groups)
+              if _confine_cheap(G, dim) and 0 in G]
+        if xg:
+            rowfix = None
+            for g, G in xg:
+                sigma = K0[0:1, :]
+                for ci in G[1:] if G[0] == 0 else G:
+                    if ci == 0:
+                        continue
+                    sigma = sigma * (coord[ci][0:1, :] == 0).astype(dt)
+                tot, j1 = None, None
+                for j in range(n_j):
+                    for s in range(n_s):
+                        if not nzf[g, j, s]:
+                            continue
+                        w = e_ref[c, (g * n_j + j) * n_s + s]
+                        t3 = w * reads[s][0:1, :]
+                        tot = t3 if tot is None else tot + t3
+                        if j == 1:
+                            j1 = t3 if j1 is None else j1 + t3
+                if tot is None:
+                    continue
+                total = tot if j1 is None else tot - shells[0][0:1, :] * j1
+                piece = sigma * total
+                rowfix = piece if rowfix is None else rowfix + piece
+            if rowfix is not None:
+                fix = jnp.where(
+                    rows == 0, jnp.broadcast_to(rowfix, (TX, L)), 0.0
+                ).astype(dt)
+                first = (i == 0).astype(dt)
+                dst = dst - first * fix
+
+        dst_ref[0] = dst
+
+    return kernel, N, L, TX, NT
+
+
+def _confine_cheap(G, dim) -> bool:
+    """Face groups whose correction is computed on a confined slice:
+    x-containing groups (global row 0, first tile only) and lane-sliceable
+    pure-lane groups; in 3D the bare z-face (lanes l % pitch == 0) is
+    strided and stays full-tile."""
+    if 0 in G:
+        return True
+    if dim == 2:
+        return True  # G == (1,): lane 0
+    if G == (1,):
+        return True  # y-face: lanes [0, pitch)
+    if G == (1, 2):
+        return True  # y- and z-face: lane 0
+    return False  # G == (2,): strided z-face
 
 
 @functools.partial(jax.jit,
@@ -427,12 +536,12 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
     """Per-cell constant-stencil apply (partial sums on interface rows).
 
     src2d: (C, N, L); A: (C, n_s, n_j) from stencil_weights;
-    E: (C, n_G, n_j, n_s) from face_weights."""
+    E: (C, n_G, n_j, n_s) from face_weights_full."""
     C = src2d.shape[0]
     dirs, _, n_j = stencil_tables(dim)
-    groups, *_ = face_tables(dim)
+    groups, *_ = face_tables_full(dim)
     n_g, n_s = len(groups), dirs.shape[0]
-    kernel, N, L, n_s = _make_const_kernel(level, dim, pitch, n_g, n_j)
+    kernel, N, L, TX, NT = _make_const_kernel(level, dim, pitch, n_j)
     w_flat = A.reshape(C, n_s * n_j).astype(src2d.dtype)
     e_flat = E.reshape(C, n_g * n_j * n_s).astype(src2d.dtype)
     if dim == 3:
@@ -442,17 +551,19 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
         z = np.arange(N, dtype=np.int32)
         yz = np.stack([z, z])
 
-    blk = (1, N, L)
-    idx = lambda c, *_: (c, 0, 0)
-    data_spec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+    blk = (1, TX, L)
+    data = lambda fi: pl.BlockSpec(
+        blk, lambda c, i, *_, fi=fi: (c, jnp.clip(i + fi, 0, NT - 1), 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(C,),
+        num_scalar_prefetch=2, grid=(C, NT),
         in_specs=[
-            pl.BlockSpec((2, L), lambda c, *_: (0, 0),
+            pl.BlockSpec((2, L), lambda c, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            data_spec,
+            data(-1), data(0), data(1),
         ],
-        out_specs=data_spec,
+        out_specs=pl.BlockSpec(blk, lambda c, i, *_: (c, i, 0),
+                               memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
@@ -463,6 +574,6 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
             bytes_accessed=C * 4 * N * L * 2,
             transcendentals=0,
         ),
-        compiler_params=_compiler_params(blk, n_arrays=24),
+        compiler_params=_compiler_params((1, TX, L), n_arrays=30),
         interpret=interpret,
-    )(w_flat, e_flat, yz, src2d)
+    )(w_flat, e_flat, yz, src2d, src2d, src2d)

@@ -174,10 +174,11 @@ class P1ElementwiseOperator:
                 space, form, jnp.asarray(space.cell_vertices(shard))
             )
         self.elmats = elmats
-        from ..kernels.p1_const_stencil import face_weights, stencil_weights
+        from ..kernels.p1_const_stencil import (face_weights_full,
+                                                stencil_weights)
 
         self.stencil = stencil_weights(elmats, space.dim)
-        self.stencil_face = face_weights(elmats, space.dim)
+        self.stencil_face = face_weights_full(elmats, space.dim)
 
     @classmethod
     def from_shard_data(cls, space: P1Space, form, sd: P1ShardData):

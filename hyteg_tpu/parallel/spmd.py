@@ -182,6 +182,79 @@ def build_spmd_poisson_vcycle(
     return jax.jit(sharded)
 
 
+def build_spmd_stokes_vcycle(
+    ctx: SpmdContext,
+    min_level: int,
+    max_level: int,
+    viscosity: float = 1.0,
+    mu=None,
+    epsilon: bool = False,
+    eigs: dict | None = None,
+    **gmg_kwargs,
+):
+    """Jitted fully sharded Stokes (Uzawa) V-cycle: (x, b) -> x with
+    TaylorHoodVec pytrees of globally sharded blocks.
+
+    The whole P2-P1 stack (element matrices, diagonals, Uzawa damping) is
+    built inside the shard_map trace from the device-local maps — the SPMD
+    analog of the reference's distributed Stokes GMG
+    (apps/2020-scaling-workshop/Helpers.cpp:103-173). ``eigs`` per-level
+    eig_max values skip the in-trace power iteration (recommended: estimate
+    once at setup like the reference's Chebyshev glue).
+    """
+    from ..composites.stokes import TaylorHoodVec
+    from ..core.types import BoundaryCondition
+    from ..solvers.uzawa import make_stokes_gmg
+
+    levels = list(range(min_level, max_level + 1))
+    pitch = (1 << (max_level + 1)) + 1
+    # stacked shard data per level: velocity on the node grid (level + 1,
+    # function BC), pressure on the vertex grid (all-Neumann)
+    vel_sds, pre_sds = [], []
+    for l in levels:
+        vel_sp = P1Space(ctx.storage, l + 1, pitch=pitch)
+        pre_sp = P1Space(ctx.storage, l, pitch=pitch)
+        vel_sds.append(vel_sp.stacked_shard_data(ctx.bc))
+        pre_sds.append(pre_sp.stacked_shard_data(
+            BoundaryCondition.all_neumann()))
+
+    def step(xv, xp, bv, bp, *sd_flat):
+        n = len(levels)
+        sdl = {
+            l: (sd_flat[i], sd_flat[n + i]) for i, l in enumerate(levels)
+        }
+        _, gmg = make_stokes_gmg(
+            ctx.storage, min_level, max_level, bc=ctx.bc,
+            viscosity=viscosity, mu=mu, epsilon=epsilon, eigs=eigs,
+            axis_name=AXIS, sd_per_level=sdl, **gmg_kwargs,
+        )
+        x = TaylorHoodVec(tuple(xv), xp)
+        b = TaylorHoodVec(tuple(bv), bp)
+        out = gmg.cycle(x, b)
+        return tuple(out.vel), out.pre
+
+    dim = ctx.storage.dim
+    sds = vel_sds + pre_sds
+
+    def wrapped(x: TaylorHoodVec, b: TaylorHoodVec):
+        specs_sd = tuple(_sd_specs(s.bc) for s in sds)
+        vspec = (P(AXIS),) * dim
+
+        def body(xv, xp, bv, bp, *sd_stacked):
+            sd_local = [_squeeze_sd(s) for s in sd_stacked]
+            return step(xv, xp, bv, bp, *sd_local)
+
+        out_v, out_p = shard_map(
+            body, mesh=ctx.mesh,
+            in_specs=(vspec, P(AXIS), vspec, P(AXIS)) + specs_sd,
+            out_specs=(vspec, P(AXIS)),
+            check_vma=False,
+        )(tuple(x.vel), x.pre, tuple(b.vel), b.pre, *sds)
+        return TaylorHoodVec(tuple(out_v), out_p)
+
+    return jax.jit(wrapped)
+
+
 def build_spmd_apply(ctx: SpmdContext, level: int, form=None):
     """Jitted sharded operator apply (the weak-scaling benchmark kernel)."""
     from ..operators import forms as _forms

@@ -46,7 +46,8 @@ class UzawaSmoother:
         st = stokes
         self.k_invdiag = jnp.stack(
             st.K_inverse_diagonal(axis_name=axis_name))
-        pmass = P1ElementwiseOperator(st.pre_space, forms.mass_form, st.shard)
+        pmass = P1ElementwiseOperator.from_shard_data(
+            st.pre_space, forms.mass_form, st._pre_sd)
         self.pmass_inv = pmass.lumped_inverse_diagonal(sd=st._pre_sd,
                                                        axis_name=axis_name)
         if eig_max is None:
@@ -113,17 +114,23 @@ def make_stokes_gmg(
     epsilon: bool = False,
     full_viscous: bool = False,
     eigs: dict | None = None,
+    sd_per_level: dict | None = None,
 ):
     """GMG solver over the Stokes composite with Uzawa smoothing.
 
     ``mu``: callable of coords (or None) — variable-viscosity epsilon
     operator on every level. ``eigs``: optional per-level eig_max overrides
-    (skips the power iteration, e.g. inside shard_map traces)."""
+    (skips the power iteration, e.g. inside shard_map traces).
+    ``sd_per_level``: {level: (vel_sd, pre_sd)} traced shard data — build
+    the whole stack from device-local maps inside shard_map."""
     lrange = range(min_level, max_level + 1)
     pitch = (1 << (max_level + 1)) + 1  # one lane pitch across all levels
+    sds = sd_per_level or {}
     stokes = {l: P2P1TaylorHoodStokes(storage, l, bc, viscosity, pitch=pitch,
                                       mu_field=mu, epsilon=epsilon,
-                                      full_viscous=full_viscous)
+                                      full_viscous=full_viscous,
+                                      vel_sd=sds.get(l, (None, None))[0],
+                                      pre_sd=sds.get(l, (None, None))[1])
               for l in lrange}
     smoothers = {l: UzawaSmoother(stokes[l], flag, omega_p=omega_p,
                                   eig_max=(eigs or {}).get(l),

@@ -29,7 +29,8 @@ from ..primitives.storage import CellStorage
 from ..solvers.krylov import minres_solve
 from ..transport import MMOCTransport
 from .params import ConvectionParameters
-from .profiles import RadialProfile, radial_profile
+from .profiles import RadialProfile, radial_profile, \
+    viscosity_profile_arrhenius
 
 
 class ConvectionSimulation:
@@ -63,10 +64,17 @@ class ConvectionSimulation:
         )
         self.energy.A = _Scaled(self.A_T, p.diffusivity)
 
-        # Stokes block system (velocity shares the P2 node grid with T)
+        # Stokes block system (velocity shares the P2 node grid with T).
+        # visc_activation > 0 switches the viscous block to the
+        # variable-viscosity epsilon operator with eta(T) = exp(E(0.5 - T))
+        # re-evaluated every Stokes solve (reference: src/terraneo/
+        # operators/P2P1StokesOperatorWithWrapper + Viscosity.hpp).
         self.vel_bc = BoundaryCondition.all_dirichlet()
-        self.stokes = P2P1TaylorHoodStokes(self.storage, p.level, self.vel_bc,
-                                           viscosity=p.viscosity)
+        self._eta_fn = (viscosity_profile_arrhenius(p.visc_activation)
+                        if p.visc_activation > 0.0 else None)
+        self.stokes = P2P1TaylorHoodStokes(
+            self.storage, p.level, self.vel_bc, viscosity=p.viscosity,
+            epsilon=self._eta_fn is not None)
         self.transport = MMOCTransport(self.storage, p.level, degree=2,
                                        vel_degree=2)
 
@@ -136,11 +144,11 @@ class ConvectionSimulation:
     @functools.cached_property
     def _stokes_solve(self):
         st, p = self.stokes, self.p
-        prec = st.block_diag_preconditioner()
 
-        def solve(b, x0):
+        def solve(b, x0, mu):
+            prec = st.block_diag_preconditioner(mu=mu)
             x, iters, _ = minres_solve(
-                lambda v: st.apply_inner(v, FLAG_INNER),
+                lambda v: st.apply_inner(v, FLAG_INNER, mu=mu),
                 lambda u, v: st.dot(u, v, FLAG_INNER),
                 b, x0, p.stokes_iters, rtol=p.stokes_rtol, prec_fn=prec,
             )
@@ -148,11 +156,18 @@ class ConvectionSimulation:
 
         return jax.jit(solve)
 
+    def viscosity_field(self, T=None):
+        """Nodal eta(T) on the velocity node grid, or None (constant)."""
+        if self._eta_fn is None:
+            return None
+        return self._eta_fn(self.T if T is None else T)
+
     def solve_stokes(self, T=None):
         T = self.T if T is None else T
         with self.timing.scope("solveStokes"):
             b = self.buoyancy_rhs(T)
-            self.x, iters = self._stokes_solve(b, self.x)
+            self.x, iters = self._stokes_solve(b, self.x,
+                                               self.viscosity_field(T))
             jax.block_until_ready(self.x.pre)
         return int(iters)
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from hyteg_tpu.functions.p1 import P1Space
 from hyteg_tpu.kernels.p1_const_stencil import (
-    face_weights,
+    face_weights_full,
     p1_const_apply_pallas,
     p1_const_apply_xla,
     stencil_weights,
@@ -53,7 +53,7 @@ def _setup(mesh_fn, level, form=forms.laplace_form):
 def test_const_xla_matches_general(name, mesh_fn, level):
     space, elm, x, y_ref = _setup(mesh_fn, level)
     A = stencil_weights(elm, space.dim)
-    E = face_weights(elm, space.dim)
+    E = face_weights_full(elm, space.dim)
     y = p1_const_apply_xla(x, A, level, space.dim, space.pitch, E=E)
     assert np.allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
 
@@ -62,7 +62,7 @@ def test_const_xla_matches_general(name, mesh_fn, level):
 def test_const_pallas_interpret_matches_general(name, mesh_fn, level):
     space, elm, x, y_ref = _setup(mesh_fn, level)
     A = stencil_weights(elm, space.dim)
-    E = face_weights(elm, space.dim)
+    E = face_weights_full(elm, space.dim)
     y = p1_const_apply_pallas(x, A, E, level, space.dim, space.pitch,
                               interpret=True)
     assert np.allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
@@ -74,7 +74,7 @@ def test_const_mass_form_matches_general():
     space, elm, x, y_ref = _setup(lambda: mi.mesh_unit_cube(1), 2,
                                   forms.mass_form)
     A = stencil_weights(elm, space.dim)
-    E = face_weights(elm, space.dim)
+    E = face_weights_full(elm, space.dim)
     y = p1_const_apply_xla(x, A, 2, space.dim, space.pitch, E=E)
     assert np.allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-6)
 

@@ -73,3 +73,24 @@ def test_viscosity_law():
     eta = viscosity_profile_arrhenius(2.0)
     assert float(eta(jnp.asarray(0.5))) == pytest.approx(1.0)
     assert float(eta(jnp.asarray(1.0))) < 1.0 < float(eta(jnp.asarray(0.0)))
+
+
+def test_eta_T_coupling_runs_and_varies():
+    """visc_activation > 0 switches K to the epsilon operator with
+    eta(T) = exp(E(0.5 - T)) (reference: terraneo viscosity laws)."""
+    from hyteg_tpu.terraneo.params import ConvectionParameters
+    from hyteg_tpu.terraneo.simulation import ConvectionSimulation
+    import numpy as np
+
+    p = ConvectionParameters(dim=2, ntan=6, nrad=1, level=2,
+                             visc_activation=2.0, stokes_iters=40,
+                             max_dt=1e-3)
+    sim = ConvectionSimulation(p)
+    assert sim.stokes.use_epsilon
+    mu = np.asarray(sim.viscosity_field())
+    mask = np.broadcast_to(
+        np.asarray(sim.T_space.vertex_mask[None], dtype=bool), mu.shape)
+    assert mu[mask].max() / mu[mask].min() > 2.0  # really varies with T
+    sim.step()
+    v2 = sum(float(np.abs(np.asarray(v)).max()) for v in sim.x.vel)
+    assert np.isfinite(v2) and v2 > 0.0
