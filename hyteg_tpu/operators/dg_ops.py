@@ -10,10 +10,14 @@ class-adjacency table (derived numerically once per dimension): for every
 (element class t, facet f) the facet's other element is class ``t2`` at a
 fixed base shift ``s``. Every facet integral is then a masked shifted dense
 multiply-add over the element grid — one fused XLA loop nest per (t, f).
-Facet coupling across *macro*-cell interfaces is not yet wired (DG domains
-use a single macro-cell at any refinement level, like the reference's DG
-test meshes); the conforming spaces (P1/P2/N1E1) fully support multi-macro
-domains."""
+
+Facet coupling across *macro*-cell interfaces (reference:
+src/hyteg/dgfunctionspace/DGOperator.hpp inner-facet forms across primitive
+boundaries) is a boundary-sized sparse correction: element facets without
+an in-macro neighbor are matched across cells by physical facet centroid at
+setup, their per-facet SIP coupling matrices precomputed, and the apply
+adds one gather/scatter pass over the matched facets (replacing the
+Nitsche boundary term the dense path charged there)."""
 
 from __future__ import annotations
 
@@ -163,6 +167,97 @@ def _nbr_masks(level: int, dim: int):
     return out
 
 
+def _boundary_facets(space, Abb_np, sigma):
+    """Match no-in-macro-neighbor facets across macro cells by centroid.
+
+    Returns None (single macro / nothing matched) or jnp arrays
+    (self_lin (B,), nbr_lin (B,), App (B,nv,nv), Apm (B,nv,nv),
+    Abb_sub (B,nv,nv)) with linear element indices into the flattened
+    (C*T*n^dim, nv) DoF view."""
+    dim, n, nv = space.dim, space.n, space.dim + 1
+    T = space.T
+    C = space.storage.cells_per_shard * space.storage.num_shards
+    if C <= 1:
+        return None
+    nbr_class, nbr_shift, facet_verts = facet_tables(dim)
+    masks = _nbr_masks(space.level, dim)
+    cv = np.asarray(space.storage.cell_vertices[:C])[..., :dim]
+    valid = np.asarray(space.storage.cell_valid[:C])
+    v0 = cv[:, :1, :]
+    J = cv[:, 1:, :] - v0
+    offs = micro.offsets(dim).astype(np.float64)
+
+    recs = {}  # rounded centroid -> list of (c, t, f, base tuple)
+    for c in range(C):
+        if not valid[c]:
+            continue
+        for t in range(T):
+            for f in range(nv - 1 + 1):
+                _, mb = masks[(t, f)]
+                bases = np.argwhere(mb > 0)
+                if bases.size == 0:
+                    continue
+                fv = facet_verts[t, f]
+                # physical facet centroid per base
+                ref = (bases[:, None, :] + offs[t][fv][None, :, :]) / n
+                phys = v0[c] + ref.mean(axis=1) @ J[c]
+                for b, p in zip(bases, phys):
+                    key = tuple(np.round(p, 9))
+                    recs.setdefault(key, []).append((c, t, f, tuple(b)))
+
+    pairs = [v for v in recs.values() if len(v) == 2]
+    if not pairs:
+        return None
+    grid = (C, T) + (n,) * dim
+    self_lin, nbr_lin = [], []
+    App_l, Apm_l, Abb_l = [], [], []
+    for (c1, t1, f1, b1), (c2, t2, f2, b2) in [p for pr in pairs
+                                               for p in (pr, pr[::-1])]:
+        # self element geometry
+        ev1 = v0[c1] + (np.asarray(b1) + offs[t1]) / n @ J[c1]
+        ev2 = v0[c2] + (np.asarray(b2) + offs[t2]) / n @ J[c2]
+        g1, vol1 = _p1_basis_grads(ev1)
+        g2, vol2 = _p1_basis_grads(ev2)
+        fverts = ev1[facet_verts[t1, f1]]
+        pts, wts, area = _facet_quad(fverts[None])
+        pts, wts, area = pts[0], wts[0], float(area[0])
+        phi_s = _p1_basis_at(ev1[None], pts[None])[0]  # (Q, nv)
+        phi_n = _p1_basis_at(ev2[None], pts[None])[0]
+        centroid = ev1.mean(axis=0)
+        if dim == 2:
+            e = fverts[1] - fverts[0]
+            nrm = np.array([e[1], -e[0]])
+        else:
+            nrm = np.cross(fverts[1] - fverts[0], fverts[2] - fverts[0])
+        nrm = nrm / np.linalg.norm(nrm)
+        if np.dot(nrm, centroid - fverts[0]) > 0:
+            nrm = -nrm
+        dgs = g1 @ nrm
+        dgn = g2 @ nrm
+        h = dim * min(vol1, vol2) / max(area, 1e-300)
+        pen = sigma / h
+        Iss = np.einsum("q,qa,qb->ab", wts, phi_s, phi_s)
+        Isn = np.einsum("q,qa,qb->ab", wts, phi_s, phi_n)
+        ws = np.einsum("q,qa->a", wts, phi_s)
+        wn = np.einsum("q,qa->a", wts, phi_n)
+        App = (-0.5 * ws[:, None] * dgs[None, :]
+               - 0.5 * dgs[:, None] * ws[None, :] + pen * Iss)
+        Apm = (-0.5 * ws[:, None] * dgn[None, :]
+               + 0.5 * dgs[:, None] * wn[None, :] - pen * Isn)
+        self_lin.append(np.ravel_multi_index((c1, t1) + b1, grid))
+        nbr_lin.append(np.ravel_multi_index((c2, t2) + b2, grid))
+        App_l.append(App)
+        Apm_l.append(Apm)
+        Abb_l.append(Abb_np[c1, t1, f1])
+    return (
+        jnp.asarray(np.asarray(self_lin)),
+        jnp.asarray(np.asarray(nbr_lin)),
+        jnp.asarray(np.stack(App_l), dtype=space.dtype),
+        jnp.asarray(np.stack(Apm_l), dtype=space.dtype),
+        jnp.asarray(np.stack(Abb_l), dtype=space.dtype),
+    )
+
+
 class DG1SIPLaplaceOperator:
     """Symmetric interior-penalty DG Laplacian on DG1
     (reference: DGOperator with the dg_diffusion forms)."""
@@ -235,6 +330,8 @@ class DG1SIPLaplaceOperator:
             "ctad,ctbd->ctab", g_self, g_self)
         self.Kvol = jnp.asarray(Kv, dtype=space.dtype)
         self._nbr = (nbr_class, nbr_shift)
+        # cross-macro facet coupling (boundary-sized gather correction)
+        self._cross = _boundary_facets(space, Abb, self.sigma)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """u, out: (C, T, n..., nv)."""
@@ -261,6 +358,16 @@ class DG1SIPLaplaceOperator:
                                   + mul(self.Apm[:, t, f], un, t))
                 acc = acc + mb * mul(self.Abb[:, t, f], u[:, t], t)
             out = out.at[:, t].add(acc)
+        if self._cross is not None:
+            # macro-interface facets: replace the Nitsche boundary term by
+            # the true SIP interior coupling with the neighbor cell
+            si, ni, Appx, Apmx, Abbx = self._cross
+            nvv = u.shape[-1]
+            uf = u.reshape(-1, nvv)
+            us, un = uf[si], uf[ni]
+            corr = (jnp.einsum("bij,bj->bi", Appx - Abbx, us)
+                    + jnp.einsum("bij,bj->bi", Apmx, un))
+            out = out.reshape(-1, nvv).at[si].add(corr).reshape(u.shape)
         w = jnp.asarray(sp._valid_weight, dtype=u.dtype)[..., None]
         return out * w
 
