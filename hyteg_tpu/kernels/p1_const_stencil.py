@@ -574,6 +574,7 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
             bytes_accessed=C * 4 * N * L * 2,
             transcendentals=0,
         ),
-        compiler_params=_compiler_params((1, TX, L), n_arrays=30),
+        compiler_params=_compiler_params((1, TX, L), n_arrays=30,
+                                         grid_rank=2),
         interpret=interpret,
     )(w_flat, e_flat, yz, src2d, src2d, src2d)

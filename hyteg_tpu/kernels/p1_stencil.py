@@ -43,18 +43,18 @@ def _phys_bytes(shape, itemsize: int = 4) -> int:
     return lead * sub * lane * itemsize
 
 
-def _compiler_params(block_shape, n_arrays: int = 40):
+def _compiler_params(block_shape, n_arrays: int = 40, grid_rank: int = 1):
     """Raise the Mosaic VMEM budget above the 16 MB default scoped limit.
 
-    The apply kernels keep up to ~26 block-sized arrays live (shared rolls +
-    masks + accumulators); v5e/v5p cores have 128 MB of VMEM, so the default
-    16 MB scoped limit is far too conservative and fails at level >= 6.
-    Budget n_arrays blocks, capped at 100 MB.
+    The apply kernels keep multiple block-sized arrays live (shared rolls +
+    masks + accumulators); budget n_arrays blocks within [16, 100] MB
+    (v5e VMEM is 128 MB — leave headroom for pipeline buffers).
     """
     per = _phys_bytes(block_shape)
-    budget = min(100 * 1024 * 1024, max(32 * 1024 * 1024, n_arrays * per))
+    budget = min(100 * 1024 * 1024, max(16 * 1024 * 1024, n_arrays * per))
     return pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",), vmem_limit_bytes=budget
+        dimension_semantics=("arbitrary",) * grid_rank,
+        vmem_limit_bytes=budget,
     )
 
 

@@ -194,7 +194,15 @@ def p2_diagonal_local(elmats, level: int, dim: int, block_shape,
 
 
 class P2ElementwiseOperator:
-    """P2 -> P2 operator (reference: P2ElementwiseOperator)."""
+    """P2 -> P2 operator (reference: P2ElementwiseOperator).
+
+    On TPU, constant-coefficient applies route through the parity-resolved
+    node-grid stencil kernel (kernels/p2_const_stencil.py — the analog of
+    the reference's 1243 generated P2 stencil kernels under
+    src/constant_stencil_operator/P2generatedKernels/)."""
+
+    #: module-wide switch for the constant-stencil fast path
+    use_const_stencil: bool = True
 
     def __init__(self, space: P2Space, kind: str = "laplace", shard: int = 0,
                  elmats=None, form=None):
@@ -203,17 +211,47 @@ class P2ElementwiseOperator:
         if elmats is None:
             elmats = compute_p2_elmats(space, kind, form=form)
         self.elmats = elmats
+        from ..kernels.p2_const_stencil import (p2_face_weights,
+                                                p2_stencil_weights)
+
+        self.stencil = p2_stencil_weights(elmats, space.dim)
+        self.stencil_face = p2_face_weights(elmats, space.dim)
 
     @classmethod
     def from_shard_data(cls, space: P2Space, kind: str, sd: P1ShardData):
         elm = compute_p2_elmats(space, kind, cell_vertices=sd.cell_vertices)
         return cls(space, kind, elmats=elm)
 
+    def _apply_local(self, x, coeff):
+        sp = self.space
+        if coeff is None and P2ElementwiseOperator.use_const_stencil:
+            from ..kernels.p1_stencil import pallas_available
+            from ..kernels.p2_const_stencil import p2_const_apply_pallas
+
+            if pallas_available():
+                return p2_const_apply_pallas(x, self.stencil,
+                                             self.stencil_face, sp.level,
+                                             sp.dim, sp.pitch)
+        return p2_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch,
+                              coeff)
+
     def apply_raw(self, x, coeff=None, sd=None, axis_name=None):
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
-        y = p2_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch, coeff)
+        y = self._apply_local(x, coeff)
         return sp.exchange_add(y, sd, axis_name)
+
+    def gemv(self, x, y, alpha=1.0, beta=1.0, coeff=None, sd=None,
+             axis_name=None):
+        """alpha * A x + beta * y (reference: P2ElementwiseOperator gemv)."""
+        sp = self.space
+        sd = sp.resolve_sd(sd, self.shard)
+        z = sp.exchange_add(self._apply_local(x, coeff), sd, axis_name)
+        return alpha * z + beta * y
+
+    def residual(self, x, b, coeff=None, sd=None, axis_name=None):
+        return self.gemv(x, b, alpha=-1.0, beta=1.0, coeff=coeff, sd=sd,
+                         axis_name=axis_name)
 
     def apply_inner(self, x, sd_or_bc=None, flag: DoFType = FLAG_INNER,
                     coeff=None, axis_name=None):

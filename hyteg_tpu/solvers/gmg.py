@@ -34,6 +34,9 @@ class GMGLevel:
     zeros: Callable
     restrict: Callable | None = None        # to next-coarser level
     prolongate_add: Callable | None = None  # from next-coarser level
+    residual: Callable | None = None        # fused (x, b) -> b - A x
+    # (reference: the gemv(alpha, beta) fast path of
+    # P1ElementwiseOperator.cpp:67 — saves one full memory pass)
 
 
 class GeometricMultigridSolver:
@@ -70,7 +73,7 @@ class GeometricMultigridSolver:
         extra = self.inc * (self.max_level - level)
         for _ in range(self.pre + extra):
             x = L.smooth(x, b)
-        r = b - L.apply(x)
+        r = L.residual(x, b) if L.residual is not None else b - L.apply(x)
         r_c = L.restrict(r)
         x_c = self.levels[level - 1].zeros()
         x_c = self.cycle(x_c, r_c, level - 1)

@@ -188,6 +188,15 @@ def make_p1_gmg(
 
         return padd
 
+    def make_residual(l):
+        sp = spaces[l]
+
+        def residual(x, b):
+            r = ops[l].residual(x, b, sd=sds[l], axis_name=axis_name)
+            return sp.restore_rows(r, jnp.zeros_like(r), flag, sds[l])
+
+        return residual
+
     levels = {}
     for l in lrange:
         levels[l] = GMGLevel(
@@ -197,6 +206,7 @@ def make_p1_gmg(
             zeros=(lambda l=l: spaces[l].zeros()),
             restrict=make_restrict(l) if l > min_level else None,
             prolongate_add=make_prolongate_add(l) if l > min_level else None,
+            residual=make_residual(l) if space_kind == "p1" else None,
         )
 
     def coarse_solve(b, x0):
