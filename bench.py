@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def main():
-    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.benchtime import auto_time
     from hyteg_tpu.mesh import meshinfo as mi
     from hyteg_tpu.operators import forms
     from hyteg_tpu.operators.p1_elementwise import P1ElementwiseOperator
@@ -41,7 +41,7 @@ def main():
     x = jax.random.normal(key, space.block_shape, dtype=space.dtype)
     x = x * jnp.asarray(space.vertex_mask[None], dtype=space.dtype)
 
-    dt = marginal_time(lambda v: op.apply_raw(v, sd=sd), x, 2, 12, repeats=3)
+    dt = auto_time(lambda v: op.apply_raw(v, sd=sd), x)
 
     gdofs = space.num_global_dofs() / 1e9
     gdofs_per_s = gdofs / dt

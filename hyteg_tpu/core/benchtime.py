@@ -60,3 +60,17 @@ def marginal_time(step: Callable, x, l1: int = 8, l2: int = 32,
     t1 = _best_time(_chain(step, l1), x, repeats)
     t2 = _best_time(_chain(step, l2), x, repeats)
     return max((t2 - t1) / (l2 - l1), 1e-12)
+
+
+def auto_time(step: Callable, x, repeats: int = 5,
+              min_window_s: float = 0.06, max_len: int = 192) -> float:
+    """Marginal time with the chain length chosen so the timed window is
+    long enough (>= min_window_s) to swamp RPC/dispatch jitter (~ms through
+    the tunnel).  l2 is estimated from t(l1) in one step (each chain length
+    costs a fresh compile of the unrolled chain — keep that to two)."""
+    l1 = 4
+    t1 = _best_time(_chain(step, l1), x, repeats)
+    per = max(t1 / l1, 1e-7)  # upper bound incl. fetch overhead
+    l2 = min(max_len, max(16, l1 + int(min_window_s / per) + 1))
+    t2 = _best_time(_chain(step, l2), x, repeats)
+    return max((t2 - t1) / (l2 - l1), 1e-12)

@@ -311,19 +311,179 @@ def p1_const_apply_xla(src2d, A, level: int, dim: int, pitch: int, E=None):
 # ---------------------------------------------------------------------------
 
 
-_TX = 8  # sublane tile height (one f32 register tile)
+def _whole_cell_ok(N: int, L: int, n_live: int = 45) -> bool:
+    """Whole-cell tiles iff ~n_live live block-sized arrays fit ~90 MB."""
+    lanes = -(-L // 128) * 128
+    rows = -(-N // 8) * 8
+    return n_live * rows * lanes * 4 <= 90 * 1024 * 1024
+
+
+def _make_const_kernel_whole(level: int, dim: int, pitch: int, n_j: int):
+    """Whole-cell kernel: grid (C,), one (N, L) tile per macro-cell.
+
+    No halo splices: sublane/lane rolls are cyclic, and every wrapped read
+    targets a point outside the macro-tet, whose total weight is exactly
+    zero under the full face-correction scheme (face_tables_full) — the
+    kernel's core invariant.  Lane rolls are shared across directions with
+    the same (dy, dz) (6 rolls instead of 14).  All pure-lane face groups
+    are accumulated full-tile (narrow misaligned lane slices lower poorly
+    on TPU); x-containing groups are fixed on a (1, L) row-0 slice and
+    spliced back with one sublane concatenate.
+    """
+    n = 1 << level
+    N = n + 1
+    L = N * pitch if dim == 3 else N
+    dirs, _, _ = stencil_tables(dim)
+    n_s = dirs.shape[0]
+    nzs = _structural_nonzero(dim)
+    groups, *_ = face_tables_full(dim)
+    nzf = _face_nonzero_full(dim)
+
+    def lane_shift(off):
+        return int(off[-1]) if dim == 2 else int(off[1]) * pitch + int(off[2])
+
+    lane_classes = sorted({lane_shift(dirs[s]) for s in range(n_s)})
+    full_groups = [(g, G) for g, G in enumerate(groups) if 0 not in G]
+    row_groups = [(g, G) for g, G in enumerate(groups) if 0 in G]
+
+    def kernel(w_ref, e_ref, yz_ref, src_ref, dst_ref):
+        c = pl.program_id(0)
+        dt = dst_ref.dtype
+        src = src_ref[0]
+        xs = jax.lax.broadcasted_iota(jnp.int32, (N, L), 0)
+        ly = yz_ref[0, :][None, :]
+        lz = yz_ref[1, :][None, :]
+        in_z = lz < N if dim == 3 else (lz >= 0)
+        s_sum = xs + ly + lz if dim == 3 else xs + lz
+        K0 = ((s_sum <= n) & in_z).astype(dt)
+        shells = [((s_sum == n - m) & in_z).astype(dt)
+                  for m in range(n_j - 1)]
+        coord = (xs, ly, lz) if dim == 3 else (xs, lz)
+
+        def lroll(v, ls):
+            return v if ls == 0 else pltpu.roll(
+                v, L - ls if ls > 0 else -ls, axis=1)
+
+        base = {ls: lroll(src, ls) for ls in lane_classes}
+
+        def wsum(ref, idxs):
+            w = ref[c, idxs[0]]
+            for k in idxs[1:]:
+                w = w + ref[c, k]
+            return w
+
+        acc_w = None
+        acc_m = [None] * (n_j - 1)
+        accg_tot = {g: None for g, _ in full_groups}
+        accg_j1 = {g: None for g, _ in full_groups}
+        row0 = {}
+        for s in range(n_s):
+            off = tuple(int(x) for x in dirs[s])
+            v = base[lane_shift(off)]
+            if off[0]:
+                v = pltpu.roll(v, N - off[0] if off[0] > 0 else -off[0],
+                               axis=0)
+            if any(nzf[g, j, s] for g, _ in row_groups for j in range(n_j)):
+                row0[s] = v[0:1, :]
+            term = wsum(w_ref, [s * n_j + j for j in range(n_j)]) * v
+            acc_w = term if acc_w is None else acc_w + term
+            for m in range(n_j - 1):
+                js = [j for j in range(m + 1, n_j) if nzs[s, j]]
+                if not js:
+                    continue
+                t2 = wsum(w_ref, [s * n_j + j for j in js]) * v
+                acc_m[m] = t2 if acc_m[m] is None else acc_m[m] + t2
+            for g, G in full_groups:
+                # fold the j-levels per direction: one FMA for the total
+                # weight, one more only when a j >= 1 term exists
+                js = [j for j in range(n_j) if nzf[g, j, s]]
+                if not js:
+                    continue
+                t3 = wsum(e_ref, [(g * n_j + j) * n_s + s for j in js]) * v
+                accg_tot[g] = (t3 if accg_tot[g] is None
+                               else accg_tot[g] + t3)
+                js1 = [j for j in js if j >= 1]
+                if js1:
+                    t4 = wsum(e_ref,
+                              [(g * n_j + j) * n_s + s for j in js1]) * v
+                    accg_j1[g] = (t4 if accg_j1[g] is None
+                                  else accg_j1[g] + t4)
+
+        dst = K0 * acc_w
+        for m in range(n_j - 1):
+            if acc_m[m] is not None:
+                dst = dst - shells[m] * acc_m[m]
+
+        for g, G in full_groups:
+            if accg_tot[g] is None:
+                continue
+            sigma = K0
+            for ci in G:
+                sigma = sigma * (coord[ci] == 0).astype(dt)
+            total = accg_tot[g]
+            if accg_j1[g] is not None:
+                total = total - shells[0] * accg_j1[g]
+            dst = dst - sigma * total
+
+        # x-containing groups: global row 0 only — compute on (1, L)
+        # slices and splice back with one sublane concatenate
+        rowfix = None
+        for g, G in row_groups:
+            sigma = K0[0:1, :]
+            for ci in G:
+                if ci == 0:
+                    continue
+                sigma = sigma * (coord[ci][0:1, :] == 0).astype(dt)
+            tot, j1 = None, None
+            for j in range(n_j):
+                for s in range(n_s):
+                    if not nzf[g, j, s]:
+                        continue
+                    w = e_ref[c, (g * n_j + j) * n_s + s]
+                    t3 = w * row0[s]
+                    tot = t3 if tot is None else tot + t3
+                    if j == 1:
+                        j1 = t3 if j1 is None else j1 + t3
+            if tot is None:
+                continue
+            total = tot if j1 is None else tot - shells[0][0:1, :] * j1
+            piece = sigma * total
+            rowfix = piece if rowfix is None else rowfix + piece
+        if rowfix is not None:
+            dst = jnp.concatenate([dst[0:1, :] - rowfix, dst[1:, :]],
+                                  axis=0)
+
+        dst_ref[0] = dst
+
+    return kernel, N, L
+
+
+def _pick_tx(N: int, L: int, n_live: int = 36) -> int:
+    """Largest row-tile height (multiple of 8, <= padded N) whose ~n_live
+    live block-sized arrays fit a ~80 MB VMEM budget."""
+    budget = 80 * 1024 * 1024
+    lanes = -(-L // 128) * 128
+    tx = 8
+    for cand in (8, 16, 32, 64, 128, 256):
+        if cand > -(-N // 8) * 8:
+            break
+        if n_live * cand * lanes * 4 <= budget:
+            tx = cand
+    return tx
 
 
 def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
-    """Sublane-tiled streaming kernel: grid (C, NT), dst tile (Tx, L).
+    """Row-tiled streaming kernel: grid (C, NT), dst tile (TX, L).
 
-    Per direction the shifted read is built from three dst-aligned src
-    tiles (prev/cur/next rows) by a sublane roll + one-row splice, then a
-    lane roll; weights use the *full* face-correction scheme
-    (face_tables_full) so every out-of-tet read carries an exactly zero
-    weight — wrapped rolls need no masks.  Face corrections are confined:
-    x-face terms run only on the first tile (pl.when), y/z-face terms on
-    lane sub-slices where the layout allows.
+    Reads are built lane-roll-first so the (dy, dz) lane shifts are shared
+    across all directions (6 full-tile lane rolls instead of 14); the
+    dx = ±1 sublane shifts are then one concatenate per direction that
+    splices the halo row from the prev/next tile in the same op.  Weights
+    use the *full* face-correction scheme (face_tables_full) so every
+    out-of-tet read carries an exactly zero weight — wrapped rolls need
+    no masks.  Face corrections are confined: x-face terms run only on
+    the first tile (pl.when), y/z-face terms on lane sub-slices where the
+    layout allows.
     """
     n = 1 << level
     N = n + 1
@@ -334,11 +494,14 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
     groups, *_ = face_tables_full(dim)
     nzf = _face_nonzero_full(dim)
     n_g = len(groups)
-    TX = min(_TX, max(8, N))
+    TX = _pick_tx(N, L)
     NT = -(-N // TX)
 
     def lane_shift(off):
         return int(off[-1]) if dim == 2 else int(off[1]) * pitch + int(off[2])
+
+    # distinct (dy, dz) lane-shift classes shared across directions
+    lane_classes = sorted({lane_shift(dirs[s]) for s in range(n_s)})
 
     def kernel(w_ref, e_ref, yz_ref, prv_ref, cur_ref, nxt_ref, dst_ref):
         c = pl.program_id(0)
@@ -365,22 +528,27 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
         nrow = (jnp.clip(i + 1, 0, NT - 1) * TX) < N
         nxt_row = jnp.where(nrow, nxt_ref[0, 0:1, :], 0.0)
 
+        # lane-rolled bases, shared across all directions with the same
+        # (dy, dz); halo rows get the same 1-row lane roll (cheap)
+        def lroll(v, ls):
+            return v if ls == 0 else pltpu.roll(
+                v, v.shape[1] - ls if ls > 0 else -ls, axis=1)
+
+        base = {ls: lroll(cur, ls) for ls in lane_classes}
+        prv_base = {ls: lroll(prv_row, ls) for ls in lane_classes}
+        nxt_base = {ls: lroll(nxt_row, ls) for ls in lane_classes}
+
         def read(s):
             off = tuple(int(x) for x in dirs[s])
-            sx = off[0]
-            if sx == 0:
-                v = cur
-            elif sx == 1:
-                v = pltpu.roll(cur, TX - 1, axis=0)
-                v = jnp.where(rows == TX - 1,
-                              jnp.broadcast_to(nxt_row, (TX, L)), v)
-            else:
-                v = pltpu.roll(cur, 1, axis=0)
-                v = jnp.where(rows == 0,
-                              jnp.broadcast_to(prv_row, (TX, L)), v)
             ls = lane_shift(off)
-            if ls:
-                v = pltpu.roll(v, L - ls if ls > 0 else -ls, axis=1)
+            v = base[ls]
+            sx = off[0]
+            if sx == 1:
+                # out[r] = v[r + 1]; last row from the next tile
+                v = jnp.concatenate([v[1:TX], nxt_base[ls]], axis=0)
+            elif sx == -1:
+                # out[r] = v[r - 1]; first row from the prev tile
+                v = jnp.concatenate([prv_base[ls], v[: TX - 1]], axis=0)
             return v
 
         def wsum(ref, idxs):
@@ -390,15 +558,20 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
             return w
 
         # stream directions: one read, immediately folded into all
-        # accumulators that use it
+        # accumulators that use it.  Only narrow slices of each read are
+        # kept for the confined corrections below (keeping all 15 full
+        # tiles live blows the VMEM stack).
         acc_w = None
         acc_m = [None] * (n_j - 1)
         accg_tot = [None] * n_g
         accg_j1 = [None] * n_g
-        reads = {}
+        Wmax = pitch if dim == 3 else 1
+        yslice = {}
+        row0 = {}
         for s in range(n_s):
             r = read(s)
-            reads[s] = r
+            yslice[s] = r[:, :Wmax]
+            row0[s] = r[0:1, :]
             term = wsum(w_ref, [s * n_j + j for j in range(n_j)]) * r
             acc_w = term if acc_w is None else acc_w + term
             for m in range(n_j - 1):
@@ -457,7 +630,7 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
                     if not nzf[g, j, s]:
                         continue
                     w = e_ref[c, (g * n_j + j) * n_s + s]
-                    t3 = w * reads[s][:, sl]
+                    t3 = w * yslice[s][:, sl]
                     tot = t3 if tot is None else tot + t3
                     if j == 1:
                         j1 = t3 if j1 is None else j1 + t3
@@ -473,7 +646,11 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
         for g, G in lane_groups:
             corrs, sl = lane_corr(g, G)
             if corrs is not None:
-                dst = dst.at[:, sl].add(-corrs)
+                # Mosaic has no scatter-add on values; widen the confined
+                # lane slice [0, W) back to L with a supported lax.pad.
+                dst = dst - jax.lax.pad(
+                    corrs, jnp.asarray(0.0, dt),
+                    [(0, 0, 0), (0, L - sl.stop, 0)])
 
         # x-containing groups: only global row 0 -> first tile
         xg = [(g, G) for g, G in enumerate(groups)
@@ -492,7 +669,7 @@ def _make_const_kernel(level: int, dim: int, pitch: int, n_j: int):
                         if not nzf[g, j, s]:
                             continue
                         w = e_ref[c, (g * n_j + j) * n_s + s]
-                        t3 = w * reads[s][0:1, :]
+                        t3 = w * row0[s]
                         tot = t3 if tot is None else tot + t3
                         if j == 1:
                             j1 = t3 if j1 is None else j1 + t3
@@ -541,15 +718,46 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
     dirs, _, n_j = stencil_tables(dim)
     groups, *_ = face_tables_full(dim)
     n_g, n_s = len(groups), dirs.shape[0]
-    kernel, N, L, TX, NT = _make_const_kernel(level, dim, pitch, n_j)
     w_flat = A.reshape(C, n_s * n_j).astype(src2d.dtype)
     e_flat = E.reshape(C, n_g * n_j * n_s).astype(src2d.dtype)
+    N0 = (1 << level) + 1
+    L0 = N0 * pitch if dim == 3 else N0
     if dim == 3:
-        y, z = flat.yz_maps(N, pitch)
+        y, z = flat.yz_maps(N0, pitch)
         yz = np.stack([y, z]).astype(np.int32)  # (2, L)
     else:
-        z = np.arange(N, dtype=np.int32)
+        z = np.arange(N0, dtype=np.int32)
         yz = np.stack([z, z])
+
+    if _whole_cell_ok(N0, L0):
+        kernel, N, L = _make_const_kernel_whole(level, dim, pitch, n_j)
+        blk = (1, N, L)
+        data = pl.BlockSpec(blk, lambda c, *_: (c, 0, 0),
+                            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(C,),
+            in_specs=[
+                pl.BlockSpec((2, L), lambda c, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                data,
+            ],
+            out_specs=data,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(src2d.shape, src2d.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 4 * n_s * C * N * L,
+                bytes_accessed=C * 4 * N * L * 2,
+                transcendentals=0,
+            ),
+            compiler_params=_compiler_params((1, N, L), n_arrays=45,
+                                             grid_rank=1),
+            interpret=interpret,
+        )(w_flat, e_flat, yz, src2d)
+
+    kernel, N, L, TX, NT = _make_const_kernel(level, dim, pitch, n_j)
 
     blk = (1, TX, L)
     data = lambda fi: pl.BlockSpec(
@@ -574,7 +782,7 @@ def p1_const_apply_pallas(src2d, A, E, level: int, dim: int, pitch: int,
             bytes_accessed=C * 4 * N * L * 2,
             transcendentals=0,
         ),
-        compiler_params=_compiler_params((1, TX, L), n_arrays=30,
+        compiler_params=_compiler_params((1, TX, L), n_arrays=52,
                                          grid_rank=2),
         interpret=interpret,
     )(w_flat, e_flat, yz, src2d, src2d, src2d)

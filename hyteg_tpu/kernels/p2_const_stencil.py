@@ -372,7 +372,11 @@ def _make_p2_kernel(level: int, dim: int, pitch: int):
             sl = slice(0, W)
             corr = corr_slice(g, G, sl)
             if corr is not None:
-                dst = dst.at[:, sl].add(-corr)
+                # Mosaic has no scatter-add on values; widen the confined
+                # lane slice [0, W) back to L with a supported lax.pad.
+                dst = dst - jax.lax.pad(
+                    corr, jnp.asarray(0.0, dt),
+                    [(0, 0, 0), (0, L - W, 0)])
 
         xg = [(g, G) for g, G in enumerate(groups)
               if _confine_cheap_p2(G, dim) and 0 in G]
