@@ -70,7 +70,13 @@ def auto_time(step: Callable, x, repeats: int = 5,
     costs a fresh compile of the unrolled chain — keep that to two)."""
     l1 = 4
     t1 = _best_time(_chain(step, l1), x, repeats)
-    per = max(t1 / l1, 1e-7)  # upper bound incl. fetch overhead
-    l2 = min(max_len, max(16, l1 + int(min_window_s / per) + 1))
+    lm = 32
+    tm = _best_time(_chain(step, lm), x, repeats)
+    marg = max((tm - t1) / (lm - l1), 1e-7)  # first marginal estimate
+    if (lm - l1) * marg >= min_window_s:
+        return marg
+    l2 = min(max_len, l1 + int(min_window_s / marg) + 1)
+    if l2 <= lm:
+        return marg
     t2 = _best_time(_chain(step, l2), x, repeats)
     return max((t2 - t1) / (l2 - l1), 1e-12)
