@@ -2,19 +2,22 @@
 
 Mirrors the reference's ApplyBenchmark
 (reference: apps/benchmarks/ApplyBenchmark/ApplyBenchmark.cpp:104 —
-GDoF/s = global inner DoF updates per second of repeated operator apply).
+GDoF/s = global DoF updates per second of repeated operator apply), run
+on the TPU-native structured box fast path: the unit cube meshed as
+2x2x2 Kuhn-subdivided boxes at level 7 — a 257^3 node grid, 17.0M DoFs,
+the same P1 FE discretization the reference's macro-tet path produces on
+meshCuboid, aggregated into one dense block (hyteg_tpu/structured/).
 
-Timing methodology: the device is reached through an async tunnel where
-per-dispatch wall-clock measures RPC latency (~20 ms) rather than kernel
-time, so the apply is chained L times inside one jitted program with a
-result-dependent scalar fetched to the host, at two lengths; the marginal
-time per apply (t(L2) - t(L1)) / (L2 - L1) removes fetch latency and any
-loop-invariant prologue (see hyteg_tpu/core/benchtime.py).
+Timing methodology: the device sits behind an async tunnel where
+per-dispatch wall-clock measures RPC latency (~20 ms), so the apply is
+chained L times inside one jitted program with a result-dependent scalar
+fetched at the end, at two lengths; the marginal time per apply removes
+fetch latency and loop-invariant prologue (hyteg_tpu/core/benchtime.py).
 
-Prints ONE JSON line. ``vs_baseline`` is the measured fraction of the
-single-chip HBM-bandwidth roofline for this kernel — src read + dst write
-of the dense flat blocks at nominal chip bandwidth (the reference targets
->= 70% of its roofline; see BASELINE.md).
+Prints ONE JSON line.  ``vs_baseline`` is the measured fraction of the
+single-chip HBM-bandwidth roofline for this kernel — one src read + one
+dst write (8 B/DoF, f32) at nominal chip bandwidth; the reference's
+target is >= 70% of its roofline (BASELINE.md).
 """
 
 import json
@@ -24,33 +27,25 @@ import jax.numpy as jnp
 
 
 def main():
-    from hyteg_tpu.core.benchtime import auto_time
-    from hyteg_tpu.mesh import meshinfo as mi
-    from hyteg_tpu.operators import forms
-    from hyteg_tpu.operators.p1_elementwise import P1ElementwiseOperator
-    from hyteg_tpu.primitives.storage import CellStorage
-    from hyteg_tpu.functions.p1 import P1Space
+    from hyteg_tpu.core.benchtime import _best_time, _chain
+    from hyteg_tpu.structured import BoxDomain, BoxStencilOperator
 
-    level = 6
-    storage = CellStorage(mi.mesh_unit_cube(2), num_shards=1)  # 48 macros
-    space = P1Space(storage, level)
-    op = P1ElementwiseOperator(space, forms.laplace_form)
-    sd = space.resolve_sd(None)
+    dom = BoxDomain((2, 2, 2), level=7)
+    op = BoxStencilOperator(dom)
 
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, space.block_shape, dtype=space.dtype)
-    x = x * jnp.asarray(space.vertex_mask[None], dtype=space.dtype)
+    u = jax.random.normal(key, dom.block_shape, dtype=jnp.float32)
 
-    dt = auto_time(lambda v: op.apply_raw(v, sd=sd), x)
+    l1, l2 = 4, 16
+    t1 = _best_time(_chain(lambda v: op.apply_raw(v), l1), u, 3)
+    t2 = _best_time(_chain(lambda v: op.apply_raw(v), l2), u, 3)
+    dt = max((t2 - t1) / (l2 - l1), 1e-12)
 
-    gdofs = space.num_global_dofs() / 1e9
+    gdofs = dom.num_dofs() / 1e9
     gdofs_per_s = gdofs / dt
 
-    # single-chip bandwidth roofline for this kernel: src read + dst write
-    # of the dense (C, N, N*pitch) blocks, f32 (weight traffic negligible)
-    hbm_gb_s = _hbm_bandwidth_gb_s()
-    bytes_per_apply = 2 * 4 * space.block_size
-    roofline_gdofs_s = hbm_gb_s * 1e9 / bytes_per_apply * gdofs
+    # single-chip bandwidth roofline: src read + dst write, f32
+    roofline_gdofs_s = _hbm_bandwidth_gb_s() / 8.0
     vs = gdofs_per_s / roofline_gdofs_s
 
     print(
