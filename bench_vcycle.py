@@ -66,10 +66,33 @@ def bench_p2(level: int):
             "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
 
 
+def bench_box(level: int):
+    """V(2,2) cycle on the structured box fast path (flagship)."""
+    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.structured import BoxDomain
+    from hyteg_tpu.structured import gmg as box_gmg
+
+    dom = BoxDomain((2, 2, 2), level=level)
+    levels = box_gmg.build_hierarchy(dom, min_level=min(3, level - 1))
+    key = jax.random.PRNGKey(0)
+    inner = jnp.asarray(dom.interior_mask, dtype=jnp.float32)
+    b = inner * jax.random.normal(key, dom.block_shape, dtype=jnp.float32)
+
+    def step(x):
+        return box_gmg.vcycle(levels, x, b)
+
+    dt = marginal_time(step, jnp.zeros_like(b), 1, 2, repeats=2)
+    gdofs = dom.num_dofs() / 1e9
+    return {"metric": f"box_p1_vcycle_level{level}",
+            "value": round(dt * 1e3, 3),
+            "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
+
+
 def main():
     p1_level = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     p2_level = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    for rec in (bench_p1(p1_level), bench_p2(p2_level)):
+    box_level = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    for rec in (bench_box(box_level), bench_p1(p1_level), bench_p2(p2_level)):
         print(json.dumps(rec), flush=True)
 
 

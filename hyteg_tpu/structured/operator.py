@@ -57,6 +57,10 @@ class BoxStencilOperator:
                                   dtype=domain.dtype)
         X, Y, Z = domain.dims
         self.w_vecs = kuhn.lane_weights(self.elmats, X, Y, Z)  # (3, n_s, L)
+        self.diagonal = self._compute_diagonal()
+        d = self.diagonal
+        self.inverse_diagonal = jnp.where(
+            d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
 
     # -- apply ----------------------------------------------------------------
 
@@ -96,22 +100,17 @@ class BoxStencilOperator:
 
     # -- Dirichlet form: boundary rows act as identity ------------------------
 
-    @functools.cached_property
-    def _masks(self):
-        d = self.domain
-        return (jnp.asarray(d.interior_mask, dtype=d.dtype),
-                jnp.asarray(d.boundary_mask, dtype=d.dtype))
-
     def apply_dirichlet(self, u: jnp.ndarray) -> jnp.ndarray:
         """Inner rows of A u; boundary rows pass u through (identity),
         the standard eliminated-Dirichlet operator."""
-        inner, bnd = self._masks
+        d = self.domain
+        inner = jnp.asarray(d.interior_mask, dtype=d.dtype)
+        bnd = jnp.asarray(d.boundary_mask, dtype=d.dtype)
         return inner * self.apply_raw(u) + bnd * u
 
-    # -- diagonal -------------------------------------------------------------
+    # -- diagonal (eager: lazy caching under jit would leak tracers) ----------
 
-    @functools.cached_property
-    def diagonal(self) -> jnp.ndarray:
+    def _compute_diagonal(self) -> jnp.ndarray:
         X, _, _ = self.domain.dims
         dirs = kuhn.stencil_dirs()
         s0 = int(np.where((dirs == 0).all(axis=1))[0][0])
@@ -124,8 +123,3 @@ class BoxStencilOperator:
             ],
             axis=0,
         ).astype(self.domain.dtype)
-
-    @functools.cached_property
-    def inverse_diagonal(self) -> jnp.ndarray:
-        d = self.diagonal
-        return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)

@@ -1,0 +1,58 @@
+"""Box fast path: transfers and geometric multigrid."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyteg_tpu.operators import forms
+from hyteg_tpu.structured import BoxDomain, BoxStencilOperator
+from hyteg_tpu.structured import gmg, transfer
+
+
+def test_prolongation_exact_on_linears():
+    coarse = BoxDomain((1, 2, 1), level=2)
+    fine = BoxDomain((1, 2, 1), level=3)
+    lin = lambda x, y, z: 1.0 + 2.0 * x - 0.5 * y + 3.0 * z
+    uc = coarse.interpolate(lin)
+    uf = transfer.prolongate(uc, coarse, fine)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(fine.interpolate(lin)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_restriction_is_transpose():
+    coarse = BoxDomain((2, 1, 1), level=2)
+    fine = BoxDomain((2, 1, 1), level=3)
+    rng = np.random.default_rng(0)
+    uc = jnp.asarray(rng.standard_normal(coarse.block_shape), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal(fine.block_shape), jnp.float32)
+    lhs = float(jnp.vdot(transfer.prolongate(uc, coarse, fine).reshape(-1),
+                         vf.reshape(-1)))
+    rhs = float(jnp.vdot(uc.reshape(-1),
+                         transfer.restrict(vf, fine, coarse).reshape(-1)))
+    assert abs(lhs - rhs) < 1e-3 * max(1.0, abs(lhs))
+
+
+def _solve(level, cycles=8):
+    dom = BoxDomain((1, 1, 1), level=level)
+    levels = gmg.build_hierarchy(dom)
+    exact = lambda x, y, z: np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
+    f = dom.interpolate(lambda x, y, z: 3 * np.pi**2 * exact(x, y, z))
+    mass = BoxStencilOperator(dom, forms.mass_form)
+    b = mass.apply_raw(f)
+    u, rns = gmg.solve_poisson(levels, b, cycles=cycles)
+    err = np.asarray(u) - np.asarray(dom.interpolate(exact))
+    l2 = float(np.sqrt(np.mean(err**2)))
+    return np.asarray(rns), l2
+
+
+def test_vcycle_converges():
+    rns, _ = _solve(4)
+    # asymptotic residual reduction per V(2,2) cycle
+    factors = rns[1:] / np.maximum(rns[:-1], 1e-30)
+    assert factors[-3:].max() < 0.35, factors
+
+
+def test_solution_second_order():
+    _, e3 = _solve(3)
+    _, e4 = _solve(4)
+    assert e4 < e3 / 3.0, (e3, e4)  # O(h^2) convergence
