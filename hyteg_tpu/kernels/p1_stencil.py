@@ -83,8 +83,31 @@ def _roll_helpers(N: int, L: int, pitch: int, dim: int):
     return roll_read, roll_write
 
 
+def _coeff_combine(creads, mode: str):
+    """In-kernel coefficient averaging (see operators/averaging.py)."""
+    nv = len(creads)
+    if mode == "arithmetic":
+        sc = None
+        for r in creads:
+            sc = r if sc is None else sc + r
+        return sc / nv
+    if mode == "harmonic":
+        sc = None
+        for r in creads:
+            t = 1.0 / jnp.maximum(r, 1e-30)
+            sc = t if sc is None else sc + t
+        return nv / sc
+    if mode == "geometric":
+        sc = None
+        for r in creads:
+            t = jnp.log(jnp.maximum(r, 1e-30))
+            sc = t if sc is None else sc + t
+        return jnp.exp(sc / nv)
+    raise ValueError(mode)
+
+
 def _make_kernel_flat(level: int, dim: int, pitch: int, with_coeff: bool,
-                      share_rolls: bool):
+                      share_rolls: bool, coeff_avg: str = "arithmetic"):
     """Write-offset-grouped flat kernel: <= 8 read-rolls + 8 write-rolls
     (shared across classes) instead of per-(class, vertex) rolls."""
     n = 1 << level
@@ -141,11 +164,9 @@ def _make_kernel_flat(level: int, dim: int, pitch: int, with_coeff: bool,
                     inner = term if inner is None else inner + term
                 m = getmask(t)
                 if with_coeff:
-                    sc = None
-                    for b in range(nv):
-                        r = cget(tuple(int(x) for x in offs[t, b]))
-                        sc = r if sc is None else sc + r
-                    m = m * (sc / nv)
+                    creads = [cget(tuple(int(x) for x in offs[t, b]))
+                              for b in range(nv)]
+                    m = m * _coeff_combine(creads, coeff_avg)
                 contrib = m * inner
                 acc = contrib if acc is None else acc + contrib
             dst = dst + roll_write(acc, o_w)
@@ -162,9 +183,11 @@ def _yz_prefetch(N: int, pitch: int, dim: int) -> np.ndarray:
     return flat.yz_sum(N, pitch).reshape(1, N * pitch)
 
 
-@functools.partial(jax.jit, static_argnames=("level", "dim", "pitch"))
+@functools.partial(jax.jit,
+                   static_argnames=("level", "dim", "pitch", "coeff_avg"))
 def p1_apply_local_pallas_flat(src2d, elmats, level: int, dim: int,
-                               pitch: int, coeff=None):
+                               pitch: int, coeff=None,
+                               coeff_avg: str = "arithmetic"):
     """Flat-lane per-cell apply: src2d (C, N, N*pitch) [3D] or (C, N, N) [2D].
 
     Equivalent to operators.p1_elementwise.p1_apply_local (partial sums on
@@ -178,7 +201,7 @@ def p1_apply_local_pallas_flat(src2d, elmats, level: int, dim: int,
     # src/dst/acc) fit in the raised VMEM budget (see _compiler_params)
     share = _phys_bytes((N, L)) * 26 < 90 * 1024 * 1024
     kernel, N, L, T, nv = _make_kernel_flat(level, dim, pitch, coeff is not None,
-                                            share)
+                                            share, coeff_avg)
     elm_flat = elmats.reshape(C, T * nv * nv).astype(src2d.dtype)
     yzsum = _yz_prefetch(N, pitch, dim)
 
@@ -210,7 +233,7 @@ def p1_apply_local_pallas_flat(src2d, elmats, level: int, dim: int,
 
 
 def _make_diag_kernel_flat(level: int, dim: int, pitch: int, lumped: bool,
-                           with_coeff: bool):
+                           with_coeff: bool, coeff_avg: str = "arithmetic"):
     n = 1 << level
     N = n + 1
     L = N * pitch if dim == 3 else N
@@ -236,11 +259,9 @@ def _make_diag_kernel_flat(level: int, dim: int, pitch: int, lumped: bool,
         for t in range(T):
             mask = (s <= n - int(margins[t])).astype(dst.dtype)
             if with_coeff:
-                sc = None
-                for b in range(nv):
-                    r = crolls[tuple(int(x) for x in offs[t, b])]
-                    sc = r if sc is None else sc + r
-                mask = mask * (sc / nv)
+                creads = [crolls[tuple(int(x) for x in offs[t, b])]
+                          for b in range(nv)]
+                mask = mask * _coeff_combine(creads, coeff_avg)
             for a in range(nv):
                 if lumped:
                     w = elm_ref[c, t * nv * nv + a * nv]
@@ -254,13 +275,15 @@ def _make_diag_kernel_flat(level: int, dim: int, pitch: int, lumped: bool,
     return kernel, N, L, T, nv
 
 
-@functools.partial(jax.jit, static_argnames=("level", "dim", "pitch", "lumped"))
+@functools.partial(jax.jit, static_argnames=("level", "dim", "pitch",
+                                             "lumped", "coeff_avg"))
 def p1_diagonal_local_pallas_flat(elmats, level: int, dim: int, pitch: int,
-                                  lumped: bool = False, coeff=None):
+                                  lumped: bool = False, coeff=None,
+                                  coeff_avg: str = "arithmetic"):
     """Per-cell partial (lumped) diagonal on the flat layout."""
     C = elmats.shape[0]
     kernel, N, L, T, nv = _make_diag_kernel_flat(level, dim, pitch, lumped,
-                                                 coeff is not None)
+                                                 coeff is not None, coeff_avg)
     elm_flat = elmats.reshape(C, T * nv * nv)
     yzsum = _yz_prefetch(N, pitch, dim)
 

@@ -31,6 +31,7 @@ import numpy as np
 from ..core.types import BoundaryCondition, DoFType, FLAG_INNER, UpdateType
 from ..functions.p1 import P1Function, P1ShardData, P1Space
 from ..indexing import flat, micro
+from .averaging import coeff_average
 
 
 def _use_pallas() -> bool:
@@ -78,6 +79,7 @@ def p1_apply_local(
     dim: int,
     pitch: int | None = None,
     coeff: jnp.ndarray | None = None,
+    coeff_avg: str = "arithmetic",
 ) -> jnp.ndarray:
     """Per-cell operator apply (partial sums on interface rows).
 
@@ -97,7 +99,7 @@ def p1_apply_local(
         if coeff is not None:
             creads = [_shift_read(coeff, offs[t, b], pitch, dim)
                       for b in range(nv)]
-            scale = sum(creads) / nv
+            scale = coeff_average(creads, coeff_avg)
         base_mask = jnp.asarray(masks[t])
         for a in range(nv):
             acc = elmats[:, t, a, 0].reshape(-1, 1, 1) * reads[0]
@@ -109,7 +111,8 @@ def p1_apply_local(
     return dst
 
 
-def _p1_diag_local(elmats, level, dim, block_shape, pitch, coeff, entry_fn):
+def _p1_diag_local(elmats, level, dim, block_shape, pitch, coeff, entry_fn,
+                   coeff_avg: str = "arithmetic"):
     N = (1 << level) + 1
     pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)
@@ -122,7 +125,7 @@ def _p1_diag_local(elmats, level, dim, block_shape, pitch, coeff, entry_fn):
         if coeff is not None:
             creads = [_shift_read(coeff, offs[t, b], pitch, dim)
                       for b in range(nv)]
-            scale = sum(creads) / nv
+            scale = coeff_average(creads, coeff_avg)
         for a in range(nv):
             acc = jnp.broadcast_to(
                 entry_fn(elmats, t, a).reshape(-1, 1, 1), block_shape
@@ -133,11 +136,12 @@ def _p1_diag_local(elmats, level, dim, block_shape, pitch, coeff, entry_fn):
     return dst
 
 
-def p1_diagonal_local(elmats, level, dim, block_shape, pitch=None, coeff=None):
+def p1_diagonal_local(elmats, level, dim, block_shape, pitch=None, coeff=None,
+                      coeff_avg: str = "arithmetic"):
     """Per-cell partial diagonal: dst[base + off_a] += elMat[t, a, a]."""
     return _p1_diag_local(
         elmats, level, dim, block_shape, pitch, coeff,
-        lambda e, t, a: e[:, t, a, a]
+        lambda e, t, a: e[:, t, a, a], coeff_avg
     )
 
 
@@ -165,10 +169,14 @@ class P1ElementwiseOperator:
     #: module-wide switch for the constant-stencil fast path
     use_const_stencil: bool = True
 
-    def __init__(self, space: P1Space, form, shard: int = 0, elmats=None):
+    def __init__(self, space: P1Space, form, shard: int = 0, elmats=None,
+                 coeff_avg: str = "arithmetic"):
         self.space = space
         self.form = form
         self.shard = shard
+        #: averaging of nodal coefficient fields over element vertices
+        #: (reference: src/hyteg/forms/CoefficientAveraging.hpp)
+        self.coeff_avg = coeff_avg
         if elmats is None:
             elmats = compute_elmats(
                 space, form, jnp.asarray(space.cell_vertices(shard))
@@ -204,9 +212,10 @@ class P1ElementwiseOperator:
             from ..kernels.p1_stencil import p1_apply_local_pallas_flat
 
             return p1_apply_local_pallas_flat(x, self.elmats, sp.level,
-                                              sp.dim, sp.pitch, coeff)
+                                              sp.dim, sp.pitch, coeff,
+                                              self.coeff_avg)
         return p1_apply_local(x, self.elmats, sp.level, sp.dim, sp.pitch,
-                              coeff)
+                              coeff, self.coeff_avg)
 
     def apply_raw(self, x, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
         """Full A x on every row (interface rows exchanged additively)."""
@@ -247,10 +256,12 @@ class P1ElementwiseOperator:
             from ..kernels.p1_stencil import p1_diagonal_local_pallas_flat
 
             d = p1_diagonal_local_pallas_flat(self.elmats, sp.level, sp.dim,
-                                              sp.pitch, False, coeff)
+                                              sp.pitch, False, coeff,
+                                              self.coeff_avg)
         else:
             d = p1_diagonal_local(self.elmats, sp.level, sp.dim,
-                                  sp.block_shape, sp.pitch, coeff)
+                                  sp.block_shape, sp.pitch, coeff,
+                                  self.coeff_avg)
         return sp.exchange_add(d, sd, axis_name)
 
     def inverse_diagonal(self, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:

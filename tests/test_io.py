@@ -131,3 +131,52 @@ def test_config():
     cfg2 = cfg.with_overrides({"solver.max_level": 6})
     assert cfg2.solver.max_level == 6
     assert cfg.solver.max_level == 4
+
+
+def test_gmsh_export_roundtrip(tmp_path):
+    """write_msh2 -> from_gmsh_file round-trips points and elements."""
+    import numpy as np
+    from hyteg_tpu.io.gmsh import write_msh2
+    from hyteg_tpu.mesh import meshinfo as mi
+
+    mesh = mi.mesh_unit_cube(1)
+    path = str(tmp_path / "out.msh")
+    write_msh2(mesh, path)
+    back = mi.from_gmsh_file(path)
+    assert back.dim == mesh.dim
+    np.testing.assert_allclose(back.points, mesh.points, atol=1e-12)
+    np.testing.assert_array_equal(back.elements, mesh.elements)
+
+
+def test_manufactured_stokes_rhs_consistent():
+    """Autodiff Stokes rhs matches a finite-difference check."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hyteg_tpu.numerictools.manufactured import (
+        _stokes_pressure_2d, _stokes_vel_2d, stokes_stream_2d)
+
+    pts = np.array([[0.3, 0.4], [0.7, 0.2]], dtype=np.float64)
+    x = jnp.asarray(pts)
+    fu, fv = stokes_stream_2d.f(x)
+    h = 1e-3  # f32-friendly step
+
+    def lap_fd(fn, comp, p):
+        tot = 0.0
+        for ax in range(2):
+            e = np.zeros(2); e[ax] = h
+            tot += (fn(jnp.asarray((p + e)[None]))[comp][0]
+                    - 2 * fn(jnp.asarray(p[None]))[comp][0]
+                    + fn(jnp.asarray((p - e)[None]))[comp][0]) / h**2
+        return float(tot)
+
+    def gradp_fd(p, ax):
+        e = np.zeros(2); e[ax] = h
+        return float((_stokes_pressure_2d(jnp.asarray((p + e)[None]))[0]
+                      - _stokes_pressure_2d(jnp.asarray((p - e)[None]))[0])
+                     / (2 * h))
+
+    for i, p in enumerate(pts):
+        want_u = -lap_fd(_stokes_vel_2d, 0, p) + gradp_fd(p, 0)
+        want_v = -lap_fd(_stokes_vel_2d, 1, p) + gradp_fd(p, 1)
+        assert abs(float(fu[i]) - want_u) < 5e-2 * max(1, abs(want_u))
+        assert abs(float(fv[i]) - want_v) < 5e-2 * max(1, abs(want_v))

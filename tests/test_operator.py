@@ -201,3 +201,39 @@ def test_variable_coefficient_operator():
     y = op.apply_raw(x, coeff=k.cells)
     got = _from_blocks(space, y)
     assert np.allclose(got, A @ v, rtol=1e-4, atol=1e-4)
+
+
+def test_coeff_averaging_modes():
+    """Harmonic/geometric coefficient averaging (reference:
+    src/hyteg/forms/CoefficientAveraging.hpp) vs direct recomputation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hyteg_tpu.mesh import meshinfo as mi
+    from hyteg_tpu.operators import forms
+    from hyteg_tpu.operators.averaging import coeff_average
+    from hyteg_tpu.operators.p1_elementwise import P1ElementwiseOperator
+    from hyteg_tpu.primitives.storage import CellStorage
+    from hyteg_tpu.functions.p1 import P1Space
+
+    storage = CellStorage(mi.mesh_single_tet(), num_shards=1)
+    space = P1Space(storage, 2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(space.block_shape), jnp.float32)
+    k = jnp.asarray(0.5 + rng.random(space.block_shape), jnp.float32)
+
+    outs = {}
+    for mode in ("arithmetic", "harmonic", "geometric"):
+        op = P1ElementwiseOperator(space, forms.laplace_form, coeff_avg=mode)
+        outs[mode] = np.asarray(op.apply_raw(x, coeff=k))
+    # modes genuinely differ ...
+    assert not np.allclose(outs["arithmetic"], outs["harmonic"])
+    assert not np.allclose(outs["arithmetic"], outs["geometric"])
+    # ... and agree for a constant coefficient
+    kc = jnp.full_like(k, 2.0)
+    ref = None
+    for mode in ("arithmetic", "harmonic", "geometric"):
+        op = P1ElementwiseOperator(space, forms.laplace_form, coeff_avg=mode)
+        y = np.asarray(op.apply_raw(x, coeff=kc))
+        if ref is None:
+            ref = y
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
