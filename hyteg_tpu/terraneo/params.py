@@ -28,6 +28,8 @@ class ConvectionParameters:
     internal_heating: float = 0.0
     viscosity: float = 1.0          # constant reference viscosity
     visc_activation: float = 0.0    # >0: eta(T)=exp(E (0.5 - T)) Arrhenius-lite
+    shear_heating: bool = False     # viscous dissipation source 2 eta eps:eps
+    adiabatic_heating: float = 0.0  # C_a: dT/dt -= C_a T (adiabatic analog)
 
     # time stepping
     cfl: float = 0.8

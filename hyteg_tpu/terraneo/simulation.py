@@ -181,6 +181,22 @@ class ConvectionSimulation:
             f = None
             if p.internal_heating != 0.0:
                 f = jnp.full_like(Tadv, p.internal_heating)
+            if p.shear_heating:
+                # viscous dissipation of the P1 interpolant of the P2
+                # velocity on the node grid (reference:
+                # src/terraneo/operators/TransportOperatorStd.hpp:264)
+                from .transport_std import shear_heating_source
+
+                eta = self.viscosity_field(T)
+                if eta is None:
+                    eta = jnp.full_like(Tadv, self.p.viscosity)
+                Q = shear_heating_source(self.T_space.node_space, vel, eta)
+                f = Q if f is None else f + Q
+            if p.adiabatic_heating != 0.0:
+                # dT/dt += -C_a T (compressible adiabatic cooling analog,
+                # explicit in T^n: TransportOperatorStd.hpp:187)
+                g = -p.adiabatic_heating * Tadv
+                f = g if f is None else f + g
             return self.energy.step(Tadv, dt, f_new=f)
 
         return jax.jit(step)

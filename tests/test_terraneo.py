@@ -94,3 +94,21 @@ def test_eta_T_coupling_runs_and_varies():
     sim.step()
     v2 = sum(float(np.abs(np.asarray(v)).max()) for v in sim.x.vel)
     assert np.isfinite(v2) and v2 > 0.0
+
+
+def test_heating_terms_step():
+    """Shear + adiabatic heating wired into the convection step."""
+    import jax.numpy as jnp
+    from hyteg_tpu.terraneo.params import ConvectionParameters
+    from hyteg_tpu.terraneo.simulation import ConvectionSimulation
+
+    p = ConvectionParameters(dim=2, level=2, ntan=6, nrad=1,
+                             rayleigh=1e3, shear_heating=True,
+                             adiabatic_heating=0.1, visc_activation=1.0,
+                             stokes_iters=15)
+    sim = ConvectionSimulation(p)
+    sim.solve_stokes()
+    T_before = sim.T
+    sim.solve_energy(1e-3)
+    assert bool(jnp.isfinite(sim.T).all())
+    assert float(jnp.abs(sim.T - T_before).max()) > 0
