@@ -26,7 +26,7 @@ from .box import BoxDomain
 from .operator import BoxStencilOperator
 
 
-def estimate_eig_max(op: BoxStencilOperator, iters: int = 20) -> float:
+def estimate_eig_max(op: BoxStencilOperator, iters: int = 50) -> float:
     """Power iteration for lambda_max(D^-1 A) on the interior (concrete)."""
     dom = op.domain
     inner = jnp.asarray(dom.interior_mask, dtype=dom.dtype)
@@ -79,7 +79,10 @@ def build_hierarchy(domain: BoxDomain, form=forms.laplace_form,
 
 def _cheby(lvl: BoxLevel, x, b, degree: int):
     """Standard three-term Chebyshev recurrence (textbook form)."""
-    lmax = lvl.eig_max * 1.1
+    # 1.25 safety margin: the power iteration underestimates lambda_max
+    # and the top of the spectrum creeps up slightly with refinement;
+    # Chebyshev must never leave the highest modes outside the interval
+    lmax = lvl.eig_max * 1.25
     lmin = lvl.eig_max * 0.3
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
