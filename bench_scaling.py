@@ -28,15 +28,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _marginal(step, x, l1=2, l2=8, repeats=3):
-    from hyteg_tpu.core.benchtime import _best_time, _chain
+def _marginal(step, x, what="bench_scaling"):
+    """Marginal time with an auto-sized window; a non-positive result is
+    a measurement failure, never clamped (round 3 committed a
+    0.0 ms -> 2.1e9 GDoF/s row from exactly that clamp)."""
+    from hyteg_tpu.core.benchgate import gate_positive_time
+    from hyteg_tpu.core.benchtime import auto_time
 
-    t1 = _best_time(_chain(step, l1), x, repeats)
-    t2 = _best_time(_chain(step, l2), x, repeats)
-    return max((t2 - t1) / (l2 - l1), 1e-12)
+    return gate_positive_time(auto_time(step, x, repeats=3), what)
 
 
 def weak_scaling(level: int):
+    """Fixed refinement level, growing macro count: GDoF/s should stay
+    ~flat (the single-chip analog of ApplyBenchmark's face-chain weak
+    scaling, ApplyBenchmark.cpp:48-52).  Run at level >= 7 — smaller
+    blocks take < 0.1 ms/apply and the marginal-time methodology then
+    measures dispatch jitter, which produced round 3's falling curve."""
+    from hyteg_tpu.core.benchgate import gate_box_apply
     from hyteg_tpu.io.tables import Table
     from hyteg_tpu.structured import BoxDomain, BoxStencilOperator
 
@@ -47,7 +55,9 @@ def weak_scaling(level: int):
         op = BoxStencilOperator(dom)
         u = jax.random.normal(jax.random.PRNGKey(0), dom.block_shape,
                               dtype=jnp.float32)
-        dt = _marginal(lambda v: op.apply_raw(v), u)
+        gate_box_apply(op, u)
+        dt = _marginal(lambda v: op.apply_raw(v), u,
+                       f"weak scaling m={m} level={level}")
         g = dom.num_dofs() / 1e9 / dt
         tab.add_row(str(m), dom.num_dofs(), round(dt * 1e3, 4), round(g, 3))
         rows.append(g)
@@ -63,11 +73,14 @@ def large_apply():
     257 = 135.3M nodes (same uniform h as a 513^3 cube)."""
     from hyteg_tpu.structured import BoxDomain, BoxStencilOperator
 
+    from hyteg_tpu.core.benchgate import gate_box_apply
+
     dom = BoxDomain((16, 2, 2), level=7, extent=(8.0, 1.0, 1.0))
     op = BoxStencilOperator(dom)
     u = jax.random.normal(jax.random.PRNGKey(0), dom.block_shape,
                           dtype=jnp.float32)
-    dt = _marginal(lambda v: op.apply_raw(v), u, l1=2, l2=6, repeats=2)
+    gate_box_apply(op, u)
+    dt = _marginal(lambda v: op.apply_raw(v), u, "large apply")
     return {"metric": "box_large_apply", "dofs": dom.num_dofs(),
             "value": round(dom.num_dofs() / 1e9 / dt, 3), "unit": "GDoF/s",
             "ms_per_apply": round(dt * 1e3, 3)}
@@ -79,6 +92,8 @@ def vcycle_residual_table(level: int):
     from hyteg_tpu.structured import BoxDomain, BoxStencilOperator
     from hyteg_tpu.structured import gmg
 
+    from hyteg_tpu.core.benchgate import gate_residuals
+
     dom = BoxDomain((2, 2, 2), level=level)
     levels = gmg.build_hierarchy(dom, min_level=min(2, level - 1))
     exact = lambda x, y, z: jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) * jnp.sin(jnp.pi * z)
@@ -86,11 +101,16 @@ def vcycle_residual_table(level: int):
     b = BoxStencilOperator(dom, forms.mass_form).apply_raw(f)
 
     t0 = time.time()
-    u, rns = jax.jit(lambda b: gmg.solve_poisson(levels, b, cycles=8))(b)
+    u, rns = jax.jit(
+        lambda b: gmg.solve_poisson(levels, b, cycles=8, pre=3, post=3))(b)
     jax.block_until_ready(rns)
     wall = time.time() - t0
 
     rns = [float(r) for r in rns]
+    # refuse to publish a diverging solve (round-3 failure mode): monotone
+    # decrease + mean rate <= 0.3 over the pre-roundoff window
+    gate_residuals(rns, f"box Poisson V(3,3) level {level}", max_rate=0.3,
+                   min_cycles=4)
     tab = Table(["cycle", "residual", "rate"])
     db = FixedSizeSQLDB("bench_vcycle_residuals.db")
     db.set_constant_entry("level", level)
@@ -102,7 +122,11 @@ def vcycle_residual_table(level: int):
         db.set_variable_entry("residual", r)
         db.write_row_on_root()
     tab.write_text("bench_vcycle_residuals.txt")
-    avg_rate = (rns[-1] / rns[2]) ** (1.0 / (len(rns) - 3)) if rns[2] > 0 else 0
+    # average the pre-roundoff window only: once the residual hits the
+    # f32 noise floor the per-cycle "rate" tends to 1 by construction
+    floor = 5.0 * rns[-1]
+    k = max(3, sum(1 for r in rns if r > floor))
+    avg_rate = (rns[k - 1] / rns[0]) ** (1.0 / (k - 1))
     return {"metric": f"box_poisson_solve_level{level}",
             "value": round(wall, 3), "unit": "s_incl_compile",
             "dofs": dom.num_dofs(),
@@ -110,7 +134,7 @@ def vcycle_residual_table(level: int):
 
 
 def main():
-    level = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    level = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     for rec in (weak_scaling(level), large_apply(),
                 vcycle_residual_table(level)):
         print(json.dumps(rec), flush=True)

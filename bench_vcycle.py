@@ -18,8 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _gate_stack(stack, step, b, what, cycles=4, max_rate=0.6):
+    """Convergence gate for a GMG stack before it is timed."""
+    from hyteg_tpu.core.benchgate import gate_residuals
+
+    x = jnp.zeros_like(b)
+    rns = [float(stack.residual_norm(x, b))]
+    jstep = jax.jit(step)
+    for _ in range(cycles):
+        x = jstep(x)
+        rns.append(float(stack.residual_norm(x, b)))
+    gate_residuals(rns, what, max_rate=max_rate, min_cycles=cycles)
+
+
 def bench_p1(level: int):
-    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.benchtime import auto_time
     from hyteg_tpu.core.types import BoundaryCondition
     from hyteg_tpu.mesh import meshinfo as mi
     from hyteg_tpu.primitives.storage import CellStorage
@@ -32,18 +45,21 @@ def bench_p1(level: int):
     key = jax.random.PRNGKey(0)
     b = jax.random.normal(key, sp.block_shape, dtype=sp.dtype)
     b = b * jnp.asarray(sp.vertex_mask[None], dtype=sp.dtype)
+    b = stack.residual(jnp.zeros_like(b), b)  # restrict rhs to solved rows
 
     def step(x):
         return stack.gmg.cycle(x, b)
 
-    dt = marginal_time(step, jnp.zeros_like(b), 1, 4, repeats=2)
+    _gate_stack(stack, step, b, f"p1 V-cycle level {level}")
+
+    dt = auto_time(step, jnp.zeros_like(b), repeats=3)
     gdofs = sp.num_global_dofs() / 1e9
     return {"metric": f"p1_vcycle_level{level}", "value": round(dt * 1e3, 3),
             "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
 
 
 def bench_p2(level: int):
-    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.benchtime import auto_time
     from hyteg_tpu.core.types import BoundaryCondition
     from hyteg_tpu.mesh import meshinfo as mi
     from hyteg_tpu.primitives.storage import CellStorage
@@ -56,11 +72,14 @@ def bench_p2(level: int):
     key = jax.random.PRNGKey(0)
     b = jax.random.normal(key, sp.block_shape, dtype=jnp.float32)
     b = b * jnp.asarray(sp.vertex_mask[None], dtype=jnp.float32)
+    b = stack.residual(jnp.zeros_like(b), b)  # restrict rhs to solved rows
 
     def step(x):
         return stack.gmg.cycle(x, b)
 
-    dt = marginal_time(step, jnp.zeros_like(b), 1, 4, repeats=2)
+    _gate_stack(stack, step, b, f"p2 V-cycle level {level}")
+
+    dt = auto_time(step, jnp.zeros_like(b), repeats=3)
     gdofs = sp.num_global_dofs() / 1e9
     return {"metric": f"p2_vcycle_level{level}", "value": round(dt * 1e3, 3),
             "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
@@ -68,7 +87,8 @@ def bench_p2(level: int):
 
 def bench_box(level: int):
     """V(2,2) cycle on the structured box fast path (flagship)."""
-    from hyteg_tpu.core.benchtime import marginal_time
+    from hyteg_tpu.core.benchgate import gate_box_apply, gate_residuals
+    from hyteg_tpu.core.benchtime import auto_time
     from hyteg_tpu.structured import BoxDomain
     from hyteg_tpu.structured import gmg as box_gmg
 
@@ -78,14 +98,26 @@ def bench_box(level: int):
     inner = jnp.asarray(dom.interior_mask, dtype=jnp.float32)
     b = inner * jax.random.normal(key, dom.block_shape, dtype=jnp.float32)
 
+    # correctness gates at the timed shapes: kernel equivalence + the
+    # solver must actually converge before its speed means anything
+    gate_box_apply(levels[0].op, b)
+    x = jnp.zeros_like(b)
+    rns = [float(box_gmg._norm(inner * levels[0].op.residual(x, b)))]
+    for _ in range(4):
+        x = jax.jit(lambda x: box_gmg.vcycle(levels, x, b))(x)
+        rns.append(float(box_gmg._norm(inner * levels[0].op.residual(x, b))))
+    gate_residuals(rns, f"box V(2,2) at level {level}", max_rate=0.4,
+                   min_cycles=4)
+
     def step(x):
         return box_gmg.vcycle(levels, x, b)
 
-    dt = marginal_time(step, jnp.zeros_like(b), 1, 2, repeats=2)
+    dt = auto_time(step, jnp.zeros_like(b), repeats=3)
     gdofs = dom.num_dofs() / 1e9
     return {"metric": f"box_p1_vcycle_level{level}",
             "value": round(dt * 1e3, 3),
-            "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4)}
+            "unit": "ms", "gdofs_per_s": round(gdofs / dt, 4),
+            "residual_rate": round((rns[-1] / rns[0]) ** 0.25, 4)}
 
 
 def main():

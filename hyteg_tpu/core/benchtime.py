@@ -2,16 +2,20 @@
 
 Through a remote-tunneled device (or any async dispatch path) per-call
 wall-clock timing measures RPC latency, not kernel time: a host->device
-round-trip costs ~20 ms while the kernel may take 20 us. The only robust
+round-trip costs ~25 ms while the kernel may take 50 us. The only robust
 methodology is the reference's (repeated apply inside the timed region,
 reference: apps/benchmarks/ApplyBenchmark/ApplyBenchmark.cpp:95-104) done
 the XLA way:
 
-  * run the op chained L times inside ONE jitted ``lax.scan``/``fori_loop``,
+  * run the op chained L times inside ONE jitted ``lax.scan``,
   * force completion by fetching a result-dependent scalar to the host,
   * measure at two lengths L1 < L2 and report the MARGINAL time per
-    iteration (L2 - L1 differencing removes fetch latency, dispatch cost
-    and any loop-invariant prologue).
+    iteration ((t2 - t1)/(L2 - L1) removes fetch latency, dispatch cost
+    and any loop-invariant prologue),
+  * size L2 so the marginal window is >> the ~ms RPC jitter — round 3
+    used unrolled chains capped at 32, whose total time was *constant*
+    (pure RPC floor) for small blocks, producing non-positive marginal
+    times and a nonsense weak-scaling row.
 """
 
 from __future__ import annotations
@@ -23,25 +27,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _chain(step: Callable, length: int, unroll: bool = True):
+def _chain(step: Callable, length: int, unroll: bool = False):
     """jit(x -> scalar) running ``step`` ``length`` times, chained.
 
-    Unrolled by default: scan-wrapped Pallas kernels have shown pathological
-    compile behavior through remote-compile backends, and an unrolled chain
-    re-uses the same compiled kernel anyway."""
+    scan-based by default: compile time is O(1) in length (an unrolled
+    1000-chain is not compilable) and scan-wrapped Pallas kernels
+    compile fine through the remote backend (measured; the round-2 note
+    claiming otherwise no longer reproduces)."""
 
     def run(x):
-        y = x
         if unroll:
+            y = x
             for _ in range(length):
                 y = step(y)
         else:
-            y, _ = jax.lax.scan(lambda c, _: (step(c), None), y, None,
+            y, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
                                 length=length)
         leaves = jax.tree_util.tree_leaves(y)
         return sum(jnp.sum(l) for l in leaves)
 
     return jax.jit(run)
+
 
 def _best_time(fn, x, repeats: int) -> float:
     float(fn(x))  # warm / compile
@@ -62,21 +68,22 @@ def marginal_time(step: Callable, x, l1: int = 8, l2: int = 32,
     return max((t2 - t1) / (l2 - l1), 1e-12)
 
 
-def auto_time(step: Callable, x, repeats: int = 5,
-              min_window_s: float = 0.06, max_len: int = 192) -> float:
-    """Marginal time with the chain length chosen so the timed window is
-    long enough (>= min_window_s) to swamp RPC/dispatch jitter (~ms through
-    the tunnel).  l2 is estimated from t(l1) in one step (each chain length
-    costs a fresh compile of the unrolled chain — keep that to two)."""
-    l1 = 4
+def auto_time(step: Callable, x, repeats: int = 3,
+              min_window_s: float = 0.25, max_len: int = 4096) -> float:
+    """Marginal time with the chain length sized so the marginal window
+    (t(l2) - t(l1)) is >= min_window_s — large against the ~ms RPC
+    jitter of a tunneled device.  Two compiles total."""
+    l1 = 16
     t1 = _best_time(_chain(step, l1), x, repeats)
-    lm = 32
-    tm = _best_time(_chain(step, lm), x, repeats)
-    marg = max((tm - t1) / (lm - l1), 1e-7)  # first marginal estimate
-    if (lm - l1) * marg >= min_window_s:
-        return marg
-    l2 = min(max_len, l1 + int(min_window_s / marg) + 1)
-    if l2 <= lm:
-        return marg
+    # estimate per-step cost from the first chain alone (includes the
+    # RPC floor, so it over-estimates => l2 errs small; the window check
+    # below retries once with the measured marginal if needed)
+    est = t1 / l1
+    l2 = min(max_len, l1 + max(64, int(min_window_s / max(est, 1e-9))))
     t2 = _best_time(_chain(step, l2), x, repeats)
-    return max((t2 - t1) / (l2 - l1), 1e-12)
+    if (t2 - t1) < 0.3 * min_window_s and l2 < max_len:
+        marg = max((t2 - t1) / (l2 - l1), 1e-9)
+        l3 = min(max_len, l1 + int(min_window_s / marg) + 1)
+        if l3 > l2:
+            t2, l2 = _best_time(_chain(step, l3), x, repeats), l3
+    return (t2 - t1) / (l2 - l1)

@@ -26,22 +26,42 @@ from .box import BoxDomain
 from .operator import BoxStencilOperator
 
 
+def _dot(a, b):
+    """f32-exact dot: an elementwise multiply + VPU reduce.  Never lowers
+    to an MXU dot_general — under XLA:TPU's DEFAULT matmul precision a
+    jnp.vdot of f32 vectors runs in bf16, and bf16 CG step sizes turned
+    this very coarse solve into an amplifier (round-3 divergence)."""
+    return jnp.sum(a * b)
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
 def estimate_eig_max(op: BoxStencilOperator, iters: int = 50) -> float:
-    """Power iteration for lambda_max(D^-1 A) on the interior (concrete)."""
+    """Power iteration for lambda_max(D^-1 A) on the interior (concrete).
+
+    Runs as an eager host loop over a jitted body (scan-wrapped Pallas
+    kernels compile pathologically through remote backends)."""
     dom = op.domain
     inner = jnp.asarray(dom.interior_mask, dtype=dom.dtype)
     dinv = op.inverse_diagonal
 
-    def body(x, _):
+    @jax.jit
+    def body(x):
         y = inner * (dinv * op.apply_raw(inner * x))
-        return y / jnp.linalg.norm(y.reshape(-1)), None
+        return y / _norm(y)
 
-    x0 = jnp.ones(dom.block_shape, dtype=dom.dtype)
-    x, _ = jax.lax.scan(body, x0 / jnp.linalg.norm(x0.reshape(-1)),
-                        None, length=iters)
-    y = inner * (dinv * op.apply_raw(inner * x))
-    lam = jnp.vdot(x.reshape(-1), y.reshape(-1))
-    return float(lam)
+    @jax.jit
+    def rayleigh(x):
+        y = inner * (dinv * op.apply_raw(inner * x))
+        return _dot(x, y)
+
+    x = jnp.ones(dom.block_shape, dtype=dom.dtype)
+    x = x / _norm(x)
+    for _ in range(iters):
+        x = body(x)
+    return float(rayleigh(x))
 
 
 @dataclass
@@ -61,16 +81,19 @@ def build_hierarchy(domain: BoxDomain, form=forms.laplace_form,
                     min_level: int = 1) -> list[BoxLevel]:
     """Fine-to-coarse list of levels with operators + spectral bounds.
 
-    lambda_max(D^-1 A) is refinement-invariant for a uniformly refined
-    constant-coefficient operator (h scales out of D^-1 A), so the power
-    iteration runs once on a coarse representative."""
-    probe = BoxDomain(domain.m, min(domain.level, 3), domain.extent,
-                      domain.dtype)
-    eig = estimate_eig_max(BoxStencilOperator(probe, form))
+    lambda_max(D^-1 A) is estimated per level (the tet path does the
+    same, solvers/templates.py) — it converges to its h->0 limit from
+    below as the level grows, so a coarse probe plus a fixed margin is
+    avoidable guesswork for one power iteration per level.
+
+    Note the round-3 level-6 divergence attributed to this estimate was
+    actually bf16 MXU dot products in the coarse CG (see _dot); the
+    estimates themselves were fine."""
     levels = []
     d = domain
     while True:
-        levels.append(BoxLevel(d, BoxStencilOperator(d, form), eig))
+        op = BoxStencilOperator(d, form)
+        levels.append(BoxLevel(d, op, estimate_eig_max(op)))
         if d.level <= min_level:
             break
         d = d.coarse()
@@ -79,11 +102,14 @@ def build_hierarchy(domain: BoxDomain, form=forms.laplace_form,
 
 def _cheby(lvl: BoxLevel, x, b, degree: int):
     """Standard three-term Chebyshev recurrence (textbook form)."""
-    # 1.25 safety margin: the power iteration underestimates lambda_max
-    # and the top of the spectrum creeps up slightly with refinement;
-    # Chebyshev must never leave the highest modes outside the interval
-    lmax = lvl.eig_max * 1.25
-    lmin = lvl.eig_max * 0.3
+    # 1.1 margin covers the downward bias of the 50-step power iteration
+    # (amplification above lmax is fatal; slack below is mild); the
+    # smoothing interval bottom at 0.15*lmax leaves modes below it to the
+    # coarse-grid correction (reference: ChebyshevSmoother.hpp:558-717).
+    # Measured V(2,2)/V(3,3) asymptotic rates on the level-5 box: 0.27 /
+    # 0.21 at 0.15 vs 0.34 / 0.27 at the old 0.3 bottom.
+    lmax = lvl.eig_max * 1.1
+    lmin = lvl.eig_max * 0.15
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     dinv = lvl.op.inverse_diagonal
@@ -114,16 +140,16 @@ def coarse_cg(lvl: BoxLevel, b, iters: int = 40):
     x = jnp.zeros_like(b)
     r = inner * b
     p = r
-    rs = jnp.vdot(r.reshape(-1), r.reshape(-1))
+    rs = _dot(r, r)
 
     def body(carry, _):
         x, r, p, rs = carry
         Ap = A(p)
-        denom = jnp.vdot(p.reshape(-1), Ap.reshape(-1))
+        denom = _dot(p, Ap)
         alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.vdot(r.reshape(-1), r.reshape(-1))
+        rs_new = _dot(r, r)
         beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
         p = r + beta * p
         return (x, r, p, rs_new), None
@@ -165,7 +191,7 @@ def solve_poisson(levels: list[BoxLevel], f, g=None, cycles: int = 8,
 
     def body(x, _):
         x = vcycle(levels, x, b, pre, post)
-        rn = jnp.linalg.norm((lvl.inner * lvl.op.residual(x, b)).reshape(-1))
+        rn = _norm(lvl.inner * lvl.op.residual(x, b))
         return x, rn
 
     x_in, rns = jax.lax.scan(body, lvl.inner * x, None, length=cycles)

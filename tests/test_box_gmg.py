@@ -32,24 +32,37 @@ def test_restriction_is_transpose():
     assert abs(lhs - rhs) < 1e-3 * max(1.0, abs(lhs))
 
 
-def _solve(level, cycles=8):
+def _solve(level, cycles=8, pre=2, post=2):
     dom = BoxDomain((1, 1, 1), level=level)
     levels = gmg.build_hierarchy(dom)
     exact = lambda x, y, z: np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
     f = dom.interpolate(lambda x, y, z: 3 * np.pi**2 * exact(x, y, z))
     mass = BoxStencilOperator(dom, forms.mass_form)
     b = mass.apply_raw(f)
-    u, rns = gmg.solve_poisson(levels, b, cycles=cycles)
+    u, rns = gmg.solve_poisson(levels, b, cycles=cycles, pre=pre, post=post)
     err = np.asarray(u) - np.asarray(dom.interpolate(exact))
     l2 = float(np.sqrt(np.mean(err**2)))
     return np.asarray(rns), l2
 
 
 def test_vcycle_converges():
-    rns, _ = _solve(4)
-    # asymptotic residual reduction per V(2,2) cycle
+    """Residual reduction per V(2,2) cycle, measured in the pre-roundoff
+    window (the late-cycle f32 noise floor is excluded by construction:
+    cycles 2-5 sit far above eps*||b||; round 3 asserted on the floor)."""
+    rns, _ = _solve(4, cycles=6)
     factors = rns[1:] / np.maximum(rns[:-1], 1e-30)
-    assert factors[-3:].max() < 0.35, factors
+    assert (rns[1:] < rns[:-1]).all(), rns  # monotone decrease throughout
+    assert factors[1:5].max() < 0.30, factors
+
+
+def test_vcycle_rate_level_independent():
+    """V(3,3) rates stay ~constant from level 4 to level 5 (the round-3
+    divergence grew with level; this guards the mechanism)."""
+    r4, _ = _solve(4, cycles=5, pre=3, post=3)
+    r5, _ = _solve(5, cycles=5, pre=3, post=3)
+    f4 = (r4[4] / r4[1]) ** (1 / 3)
+    f5 = (r5[4] / r5[1]) ** (1 / 3)
+    assert f4 < 0.25 and f5 < 0.27, (f4, f5)
 
 
 def test_solution_second_order():
