@@ -8,10 +8,17 @@ single-row fixes.  Per row-tile:
 
   * 6 shared lane rolls (one per distinct (dy, dz) class, wrap targets
     carry exactly-zero weights),
-  * one sublane concatenate per dx != 0 direction, splicing the 1-row
-    halo (delivered as tiny (1, L) side inputs — the main stream is read
-    exactly once),
-  * 15 lane-broadcast FMAs for the bulk,
+  * 15 lane-broadcast FMAs grouped by dx into three accumulators
+    S-, S0, S+ — so the dx = ±1 sublane shifts happen ONCE on the
+    reduced accumulators (2 splices) instead of once per direction
+    (round-3 kernel: 8 concatenates),
+  * no input masking: unspecified values in the padding rows of the
+    last tile only ever reach padding rows of dst (clipped on
+    write-back) or the two boundary rows, which are re-evaluated from
+    scratch — see the row-by-row argument at `kernel` below,
+  * halo rows ride along as one small resident array (or (8, L) blocks
+    shared by 4 tiles when the grid is long); round 3 streamed (8, L)
+    per tile — 4x the halo bytes, 53% of the main stream at level 7,
   * 15 + 15 narrow (1, L) FMAs re-evaluating global rows 0 and X-1 with
     their own weight vectors.
 
@@ -36,7 +43,7 @@ from .p1_stencil import _compiler_params
 from ..structured import kuhn
 
 
-def _pick_tx(X: int, L: int, n_live: int = 16) -> int:
+def _pick_tx(X: int, L: int, n_live: int = 14) -> int:
     budget = 80 * 1024 * 1024
     lanes = -(-L // 128) * 128
     tx = 8
@@ -48,43 +55,72 @@ def _pick_tx(X: int, L: int, n_live: int = 16) -> int:
     return tx
 
 
-def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int):
+def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int,
+                 hal_resident: bool):
     L = Y * Z
     dirs = kuhn.stencil_dirs()
     lane_classes = sorted({int(d[1]) * Z + int(d[2]) for d in dirs})
     rl = (X - 1) - (NT - 1) * TX  # static local row of global row X-1
+    VR = X - (NT - 1) * TX        # valid rows in the last tile (= rl + 1)
 
+    def lroll(v, ls):
+        return v if ls == 0 else pltpu.roll(
+            v, v.shape[1] - ls if ls > 0 else -ls, axis=1)
+
+    # Why no input masking is needed (padding rows of the last tile hold
+    # unspecified values):
+    #   acc0 garbage stays on its own (invalid) rows;
+    #   accm[r-1] pollutes rows r >= VR + 1 — all invalid;
+    #   accp[r+1] pollutes row VR - 1 = global X-1 — overwritten below.
+    # Halo rows are always real (clamped) u rows, so hfp/hfm are finite;
+    # their values only matter on rows that are not overwritten, where the
+    # clamped index is exact.
     def kernel(w_ref, hal_ref, cur_ref, dst_ref):
         i = pl.program_id(0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TX, L), 0)
-        # zero out padding rows of the last tile and invalid halo rows
-        # (unspecified values would leak NaNs through zero weights)
-        cur = jnp.where(rows + i * TX < X, cur_ref[...], 0.0)
-        hp = jnp.where(i * TX - 1 >= 0, hal_ref[0:1, :], 0.0)
-        hn = jnp.where((i + 1) * TX <= X - 1, hal_ref[1:2, :], 0.0)
+        cur = cur_ref[...]
+        q = 2 * i if hal_resident else 2 * (i % 4)
+        hp = hal_ref[pl.ds(q, 1), :]
+        hn = hal_ref[pl.ds(q + 1, 1), :]
 
-        def lroll(v, ls):
-            return v if ls == 0 else pltpu.roll(
-                v, v.shape[1] - ls if ls > 0 else -ls, axis=1)
-
-        # bulk: one lane class fully consumed at a time
-        acc = None
+        # dx-grouped accumulation: each lane class is rolled once and
+        # consumed by all three dx groups; the sublane shift is applied
+        # once per GROUP afterwards (2 splices total, halo spliced in)
+        acc0 = None
+        accp = None  # sum over dx = +1 dirs, still at source rows
+        accm = None  # sum over dx = -1 dirs
+        hfp = None   # the same +1 sum evaluated on the next-halo row
+        hfm = None   # the -1 sum on the prev-halo row
         for ls in lane_classes:
             b = lroll(cur, ls)
-            hpb = lroll(hp, ls)
-            hnb = lroll(hn, ls)
+            hpb = None
+            hnb = None
             for s in range(n_s):
                 dx, dy, dz = (int(v) for v in dirs[s])
                 if dy * Z + dz != ls:
                     continue
-                v = b
-                if dx == 1:
-                    v = jnp.concatenate([v[1:TX], hnb], axis=0)
-                elif dx == -1:
-                    v = jnp.concatenate([hpb, v[: TX - 1]], axis=0)
-                t = w_ref[s : s + 1, :] * v
-                acc = t if acc is None else acc + t
-        dst_ref[...] = acc
+                w = w_ref[s : s + 1, :]
+                t = w * b
+                if dx == 0:
+                    acc0 = t if acc0 is None else acc0 + t
+                elif dx == 1:
+                    accp = t if accp is None else accp + t
+                    if hnb is None:
+                        hnb = lroll(hn, ls)
+                    t2 = w * hnb
+                    hfp = t2 if hfp is None else hfp + t2
+                else:
+                    accm = t if accm is None else accm + t
+                    if hpb is None:
+                        hpb = lroll(hp, ls)
+                    t2 = w * hpb
+                    hfm = t2 if hfm is None else hfm + t2
+        # dst[r] = acc0[r] + accp[r + 1] + accm[r - 1]: three stores with
+        # static sublane-offset reads — no materialized concatenates
+        dst_ref[0:1, :] = acc0[0:1] + accp[1:2] + hfm
+        dst_ref[1 : TX - 1, :] = (acc0[1 : TX - 1] + accp[2:TX]
+                                  + accm[: TX - 2])
+        dst_ref[TX - 1 : TX, :] = (acc0[TX - 1 : TX] + hfp
+                                   + accm[TX - 2 : TX - 1])
 
         # boundary rows 0 / X-1: re-evaluated with their own weight
         # vectors on (1, L) slices, only in the first / last tile
@@ -100,15 +136,16 @@ def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int):
         @pl.when(i == 0)
         def _():
             # dx = -1 weights are exactly zero at global row 0; the
-            # zero-selected hp is a safe placeholder read
+            # clamped hp is a safe placeholder read
             dst_ref[0:1, :] = row_fix(n_s, hp, cur[0:1, :], cur[1:2, :])
 
         @pl.when(i == NT - 1)
         def _():
-            # dx = +1 weights are exactly zero at global row X-1; the
-            # zero-selected hn is a safe placeholder read
+            # dx = +1 weights are exactly zero at global row X-1, but the
+            # operand must be finite: row rl+1 is padding garbage when it
+            # exists, so use the (finite, clamped) hn instead
             dn = cur[rl - 1 : rl, :] if rl >= 1 else hp
-            up = cur[rl + 1 : rl + 2, :] if rl + 1 < TX else hn
+            up = cur[rl + 1 : rl + 2, :] if rl + 1 < VR else hn
             dst_ref[rl : rl + 1, :] = row_fix(
                 2 * n_s, dn, cur[rl : rl + 1, :], up)
 
@@ -124,24 +161,35 @@ def box_apply_pallas(u: jnp.ndarray, w_vecs: jnp.ndarray, dims,
     n_s = w_vecs.shape[1]
     TX = _pick_tx(X, L)
     NT = -(-X // TX)
-    kernel = _make_kernel(X, Y, Z, n_s, TX, NT)
+    # short grids keep the whole halo array VMEM-resident (constant index
+    # map -> fetched once); long grids read (8, L) blocks shared by 4
+    # consecutive tiles (sublane blocks must be multiples of 8)
+    hal_resident = NT <= 32
+    kernel = _make_kernel(X, Y, Z, n_s, TX, NT, hal_resident)
     w = w_vecs.reshape(3 * n_s, L).astype(u.dtype)
 
-    # per-tile 1-row halos packed in one 8-row stream: hal[8i] =
-    # u[i*TX - 1], hal[8i + 1] = u[(i+1)*TX] (clamped)
-    idx_p = np.clip(np.arange(NT) * TX - 1, 0, X - 1)
-    idx_n = np.clip((np.arange(NT) + 1) * TX, 0, X - 1)
-    idx = np.zeros((NT, 8), dtype=np.int64)
-    idx[:, 0] = idx_p
-    idx[:, 1] = idx_n
+    # per-tile 1-row halos: hal[2i] = u[i*TX - 1], hal[2i+1] = u[(i+1)*TX]
+    # (clamped)
+    NB = NT if hal_resident else -(-NT // 4) * 4
+    idx = np.zeros((NB, 2), dtype=np.int64)
+    t = np.minimum(np.arange(NB), NT - 1)
+    idx[:, 0] = np.clip(t * TX - 1, 0, X - 1)
+    idx[:, 1] = np.clip((t + 1) * TX, 0, X - 1)
     hal = u[jnp.asarray(idx.reshape(-1))]
+
+    if hal_resident:
+        hal_spec = pl.BlockSpec((2 * NB, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        hal_spec = pl.BlockSpec((8, L), lambda i: (i // 4, 0),
+                                memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((3 * n_s, L), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            hal_spec,
             pl.BlockSpec((TX, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TX, L), lambda i: (i, 0),
@@ -156,6 +204,6 @@ def box_apply_pallas(u: jnp.ndarray, w_vecs: jnp.ndarray, dims,
             bytes_accessed=4 * X * L * 2,
             transcendentals=0,
         ),
-        compiler_params=_compiler_params((TX, L), n_arrays=17, grid_rank=1),
+        compiler_params=_compiler_params((TX, L), n_arrays=24, grid_rank=1),
         interpret=interpret,
     )(w, hal, u)
