@@ -115,15 +115,17 @@ def bench_tet(level: int = 6):
     }
 
 
-def bench_shell(level: int = 4):
-    """Blended icosahedral-shell exact vargeom apply (the TerraNeo
-    geometry; reference: p1_diffusion_blending_q3 operator family)."""
+def bench_shell(level: int = 3):
+    """Blended icosahedral-shell apply, exact vargeom + LSQP surrogate
+    (the TerraNeo geometry; reference: p1_diffusion_blending_q3 operator
+    family and P1SurrogateOperator)."""
     from hyteg_tpu.core.benchtime import auto_time
     from hyteg_tpu.functions.p1 import P1Space
     from hyteg_tpu.geometry.maps import IcosahedralShellMap
     from hyteg_tpu.mesh import meshinfo as mi
     from hyteg_tpu.operators import forms
-    from hyteg_tpu.operators.p1_blended import P1BlendedOperator
+    from hyteg_tpu.operators.p1_blended import (P1BlendedOperator,
+                                                P1SurrogateOperator)
     from hyteg_tpu.primitives.storage import CellStorage
 
     storage = CellStorage(mi.mesh_spherical_shell(2, 2, 0.55, 1.0),
@@ -139,12 +141,20 @@ def bench_shell(level: int = 4):
 
     dt = auto_time(lambda v: op.apply_raw(v, sd=sd), x, repeats=3)
     gdofs_per_s = space.num_global_dofs() / 1e9 / dt
-    return {
+    out = {
         "metric": "p1_shell_blended_apply_gdofs_per_s",
         "value": round(gdofs_per_s, 4),
         "unit": "GDoF/s",
         "vs_baseline": 0.0,
     }
+    try:
+        sur = P1SurrogateOperator(space, forms.laplace_form, gmap, degree=2)
+        dt2 = auto_time(lambda v: sur.apply_raw(v, sd=sd), x, repeats=3)
+        out["surrogate_gdofs_per_s"] = round(
+            space.num_global_dofs() / 1e9 / dt2, 4)
+    except Exception as e:
+        out["surrogate_error"] = str(e)[:120]
+    return out
 
 
 def main():

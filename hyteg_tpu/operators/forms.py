@@ -21,12 +21,50 @@ def _jacobian(verts: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(verts[..., 1:, :] - verts[..., :1, :], -1, -2)
 
 
+def det_small(J: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of batched 2x2 / 3x3 matrices.
+
+    jnp.linalg.det/inv lower to batched LU on TPU, which the compiler
+    handles poorly at ~1e6 tiny matrices (the vargeom apply crashed the
+    remote TPU compiler); the adjugate formulas are pure VPU work."""
+    d = J.shape[-1]
+    if d == 2:
+        return (J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0])
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    p, q, r = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    u, v, w = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    return (a * (q * w - r * v) - b * (p * w - r * u)
+            + c * (p * v - q * u))
+
+
+def inv_small(J: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of batched 2x2 / 3x3 matrices."""
+    d = J.shape[-1]
+    det = det_small(J)
+    idet = 1.0 / det
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, dd = J[..., 1, 0], J[..., 1, 1]
+        rows = [[dd, -b], [-c, a]]
+    else:
+        a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+        p, q, r = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+        u, v, w = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+        rows = [
+            [q * w - r * v, c * v - b * w, b * r - c * q],
+            [r * u - p * w, a * w - c * u, c * p - a * r],
+            [p * v - q * u, b * u - a * v, a * q - b * p],
+        ]
+    adj = jnp.stack([jnp.stack(rw, axis=-1) for rw in rows], axis=-2)
+    return adj * idet[..., None, None]
+
+
 def simplex_volume(verts: jnp.ndarray) -> jnp.ndarray:
     """Unsigned volume (area in 2D) of the simplices."""
     J = _jacobian(verts)
     dim = verts.shape[-1]
     factor = 6.0 if dim == 3 else 2.0
-    return jnp.abs(jnp.linalg.det(J)) / factor
+    return jnp.abs(det_small(J)) / factor
 
 
 def p1_gradients(verts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -40,7 +78,7 @@ def p1_gradients(verts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     ghat = jnp.concatenate(
         [-jnp.ones((1, dim)), jnp.eye(dim)], axis=0
     )  # (nv, dim)
-    Jinv = jnp.linalg.inv(J)
+    Jinv = inv_small(J)
     g = jnp.einsum("ad,...de->...ae", ghat, Jinv)  # ghat @ J^{-1}
     vol = simplex_volume(verts)
     return g, vol

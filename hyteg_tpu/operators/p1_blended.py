@@ -98,7 +98,15 @@ class P1BlendedOperator:
         self.form = form
         self.gmap = gmap
         self.shard = shard
-        self.coords = blended_coords(space, gmap, shard)
+
+    @property
+    def coords(self):
+        """Blended micro-vertex field, recomputed per trace: materializing
+        it eagerly would bake an O(C * N * lanes * 3) constant into every
+        jitted program using this operator (34 MB at shell level 3 — large
+        enough to kill remote TPU compiles); in-trace it derives from the
+        tiny cell-vertex array plus the small reference grid."""
+        return blended_coords(self.space, self.gmap, self.shard)
 
     def apply_raw(self, x, sd=None, axis_name=None):
         sp = self.space

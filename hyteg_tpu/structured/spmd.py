@@ -121,3 +121,183 @@ class SpmdBoxOperator:
                        ((0, self.Xp - dom.X), (0, 0)))
         r = bp - self.apply_raw(up)
         return up + omega * inner * dinv * r
+
+
+# ---------------------------------------------------------------------------
+# sharded geometric multigrid (the 1e9-DoF path)
+# ---------------------------------------------------------------------------
+#
+# Strategy: the stencil apply runs as the shard_map Pallas/ppermute kernel
+# above on padded row-slabs; everything else (Chebyshev algebra, grid
+# transfers, dot products) is written as global-view jnp ops with
+# NamedSharding constraints — GSPMD partitions the stride-2 slices and
+# shifts of structured/transfer.py and inserts the neighbor collectives
+# and psums itself.  This mirrors the reference's distributed GMG
+# (reference: apps/2020-scaling-workshop/Helpers.cpp:103-173 — same
+# partition on all levels, collectives only at halos and reductions).
+
+from dataclasses import dataclass as _dataclass, field as _field
+
+from ..operators import forms as _forms
+from . import transfer as _transfer
+from . import gmg as _gmg
+
+
+@_dataclass
+class SpmdBoxLevel:
+    domain: BoxDomain
+    op: "SpmdBoxOperator"
+    eig_max: float
+    inner: jnp.ndarray = None
+
+    def __post_init__(self):
+        if self.inner is None:
+            self.inner = jnp.asarray(self.domain.interior_mask,
+                                     dtype=self.domain.dtype)
+
+    def apply_global(self, x):
+        """A x on the exact-shape global array (pad -> shard_map -> slice)."""
+        dom, mesh = self.domain, self.op.mesh
+        Xp = padded_rows(dom.X, mesh.devices.size)
+        xp = jnp.pad(x, ((0, Xp - dom.X), (0, 0)))
+        xp = jax.lax.with_sharding_constraint(
+            xp, NamedSharding(mesh, P(AXIS, None)))
+        return self.op.apply_raw(xp)[: dom.X]
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)  # GSPMD inserts the psum
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+def build_spmd_hierarchy(domain: BoxDomain, mesh: Mesh,
+                         form=None, min_level: int = 2,
+                         eig_iters: int = 30) -> list[SpmdBoxLevel]:
+    """Fine-to-coarse sharded levels with per-level spectral estimates
+    (the power iteration itself runs sharded)."""
+    form = form or _forms.laplace_form
+    levels = []
+    d = domain
+    while True:
+        op = SpmdBoxOperator(BoxStencilOperator(d, form), mesh)
+        lvl = SpmdBoxLevel(d, op, 0.0)
+        lvl.eig_max = _estimate_eig_spmd(lvl, eig_iters)
+        levels.append(lvl)
+        if d.level <= min_level:
+            break
+        d = d.coarse()
+    return levels
+
+
+def _estimate_eig_spmd(lvl: SpmdBoxLevel, iters: int) -> float:
+    dom = lvl.domain
+    inner = lvl.inner
+    dinv = lvl.op.op.inverse_diagonal
+
+    @jax.jit
+    def body(x):
+        y = inner * (dinv * lvl.apply_global(inner * x))
+        return y / _norm(y)
+
+    @jax.jit
+    def rayleigh(x):
+        y = inner * (dinv * lvl.apply_global(inner * x))
+        return _dot(x, y)
+
+    x = jnp.ones(dom.block_shape, dtype=dom.dtype)
+    x = x / float(jnp.sqrt(dom.num_dofs()))
+    for _ in range(iters):
+        x = body(x)
+    return float(rayleigh(x))
+
+
+def _cheby_spmd(lvl: SpmdBoxLevel, x, b, degree: int):
+    """Chebyshev smoother on global-view arrays (same interval policy as
+    structured/gmg.py:_cheby)."""
+    lmax = lvl.eig_max * 1.1
+    lmin = lvl.eig_max * 0.15
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    dinv = lvl.op.op.inverse_diagonal
+    inner = lvl.inner
+
+    def resid(x):
+        return inner * (dinv * (b - lvl.apply_global(x)))
+
+    d = resid(x) / theta
+    x = x + d
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * resid(x)
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def coarse_cg_spmd(lvl: SpmdBoxLevel, b, iters: int = 40):
+    inner = lvl.inner
+
+    def A(v):
+        return inner * lvl.apply_global(inner * v)
+
+    x = jnp.zeros_like(b)
+    r = inner * b
+    p = r
+    rs = _dot(r, r)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = A(p)
+        denom = _dot(p, Ap)
+        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = _dot(r, r)
+        beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, *_), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    return x
+
+
+def spmd_vcycle(levels: list[SpmdBoxLevel], x, b, pre: int = 2,
+                post: int = 2, coarse_iters: int = 40, _k: int = 0):
+    """One sharded V-cycle on levels[_k:] (global-view arrays; the
+    transfers are plain structured/transfer.py ops — GSPMD partitions
+    their stride-2 slices and shifts)."""
+    lvl = levels[_k]
+    if _k == len(levels) - 1:
+        return coarse_cg_spmd(lvl, b, coarse_iters)
+    x = _cheby_spmd(lvl, x, b, pre)
+    r = lvl.inner * (b - lvl.apply_global(x))
+    r_c = _transfer.restrict(r, lvl.domain, levels[_k + 1].domain)
+    r_c = levels[_k + 1].inner * r_c
+    e_c = spmd_vcycle(levels, jnp.zeros_like(r_c), r_c, pre, post,
+                      coarse_iters, _k + 1)
+    e = _transfer.prolongate(levels[_k + 1].inner * e_c,
+                             levels[_k + 1].domain, lvl.domain)
+    x = x + lvl.inner * e
+    return _cheby_spmd(lvl, x, b, post)
+
+
+def spmd_solve_poisson(levels: list[SpmdBoxLevel], f, cycles: int = 5,
+                       pre: int = 2, post: int = 2, coarse_iters: int = 40):
+    """Dirichlet Poisson solve (homogeneous boundary), returns
+    (u, per-cycle residual norms).  Jit the returned callable's body once:
+
+        solve = jax.jit(functools.partial(spmd_solve_poisson, levels))
+    """
+    lvl = levels[0]
+    b = lvl.inner * f
+    x = jnp.zeros_like(b)
+    rns = []
+    for _ in range(cycles):
+        x = spmd_vcycle(levels, x, b, pre, post, coarse_iters)
+        rns.append(_norm(lvl.inner * (b - lvl.apply_global(x))))
+    return x, jnp.stack(rns)
