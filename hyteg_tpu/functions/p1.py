@@ -37,7 +37,13 @@ from ..primitives.storage import CellStorage, P1LevelMaps
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class P1ShardData:
-    """Device-local slot maps and cell data (all jnp arrays; pytree)."""
+    """Device-local slot maps and cell data (all jnp arrays; pytree).
+
+    The optional ``nbr_*`` tables enable the neighbor-wise exchange
+    (O(local interface) ppermutes instead of an O(global interface) psum;
+    reference analog: src/hyteg/communication/PackInfo.hpp:43-183 —
+    precomputed per-neighbor pack lists).  ``nbr_perms`` holds one
+    ppermute pair list per edge-coloring round (static metadata)."""
 
     slot_flat: jnp.ndarray      # (S,) int32; OOB value for padded slots
     slot_gid: jnp.ndarray       # (S,) int32; == num_ifc for padded slots
@@ -47,16 +53,32 @@ class P1ShardData:
     cell_valid: jnp.ndarray     # (C_loc,) bool
     cell_vertices: jnp.ndarray  # (C_loc, nv, 3) float
     bc: BoundaryCondition | None = None  # static (pytree aux)
+    nbr_slot_lid: jnp.ndarray | None = None  # (S,) int32 local gid id
+    nbr_pack: jnp.ndarray | None = None      # (R, M) int32 send lids
+    nbr_recv: jnp.ndarray | None = None      # (R, M) int32 recv lids
+    nbr_num_local: int = 0                   # static: L_max (dump = L_max)
+    nbr_perms: tuple = ()                    # static: R ppermute pair lists
 
     def tree_flatten(self):
-        return (
+        children = [
             self.slot_flat, self.slot_gid, self.slot_rep, self.slot_inv_mult,
             self.slot_doftype, self.cell_valid, self.cell_vertices,
-        ), (self.bc,)
+        ]
+        has_nbr = self.nbr_pack is not None
+        if has_nbr:
+            children += [self.nbr_slot_lid, self.nbr_pack, self.nbr_recv]
+        return tuple(children), (self.bc, has_nbr, self.nbr_num_local,
+                                 self.nbr_perms)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bc=aux[0])
+        bc, has_nbr, n_local, perms = aux
+        base = children[:7]
+        if has_nbr:
+            return cls(*base, bc=bc, nbr_slot_lid=children[7],
+                       nbr_pack=children[8], nbr_recv=children[9],
+                       nbr_num_local=n_local, nbr_perms=perms)
+        return cls(*base, bc=bc)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -299,9 +321,83 @@ class P1Space:
             )
         return self._sd_cache[key]
 
-    def stacked_shard_data(self, bc: BoundaryCondition):
-        """All-shard (D, ...) numpy pytree for feeding shard_map."""
+    @functools.cached_property
+    def _nbr_tables(self):
+        """Neighbor-wise exchange tables (host precompute, per level).
+
+        Returns (slot_lid (D, S), L_max, pack (D, R, M), recv (D, R, M),
+        perms) where perms[r] is the ppermute pair list of round r (one
+        partial matching of the neighbor graph per round, greedy edge
+        coloring).  Pack/recv entries are LOCAL-gid ids; L_max is the
+        dump bucket for padding."""
+        from collections import defaultdict
+
         m = self.maps
+        D, S = m.slot_gid.shape
+        slot_lid = np.full((D, S), 0, dtype=np.int64)
+        loc_gids = []
+        for d in range(D):
+            gids = np.asarray(m.slot_gid[d])
+            valid = gids < m.num_ifc
+            uniq, inv = np.unique(gids[valid], return_inverse=True)
+            loc_gids.append(uniq)
+            lid = np.full(S, -1, dtype=np.int64)
+            lid[valid] = inv
+            slot_lid[d] = lid
+        L_max = max((len(u) for u in loc_gids), default=0)
+        slot_lid[slot_lid < 0] = L_max  # dump bucket
+
+        sharers = defaultdict(list)
+        for d in range(D):
+            for g in loc_gids[d]:
+                sharers[int(g)].append(d)
+        pair_g = defaultdict(list)
+        for g, devs in sharers.items():
+            for i in range(len(devs)):
+                for j in range(i + 1, len(devs)):
+                    pair_g[(devs[i], devs[j])].append(g)
+
+        colors = {}
+        used = defaultdict(set)
+        for e in sorted(pair_g):
+            c = 0
+            while c in used[e[0]] or c in used[e[1]]:
+                c += 1
+            colors[e] = c
+            used[e[0]].add(c)
+            used[e[1]].add(c)
+        R = (max(colors.values()) + 1) if colors else 0
+        M = max((len(v) for v in pair_g.values()), default=1)
+        pack = np.full((D, max(R, 1), M), L_max, dtype=np.int64)
+        recv = np.full((D, max(R, 1), M), L_max, dtype=np.int64)
+        perms: list[list] = [[] for _ in range(max(R, 1))]
+        g2l = [{int(g): i for i, g in enumerate(loc_gids[d])}
+               for d in range(D)]
+        for (d, e), gs in pair_g.items():
+            c = colors[(d, e)]
+            for k, g in enumerate(sorted(gs)):
+                pack[d, c, k] = g2l[d][g]
+                pack[e, c, k] = g2l[e][g]
+                recv[d, c, k] = g2l[d][g]
+                recv[e, c, k] = g2l[e][g]
+            perms[c] += [(d, e), (e, d)]
+        return (slot_lid.astype(np.int32), int(L_max),
+                pack.astype(np.int32), recv.astype(np.int32),
+                tuple(tuple(sorted(p)) for p in perms))
+
+    def stacked_shard_data(self, bc: BoundaryCondition,
+                           neighbor: bool = True):
+        """All-shard (D, ...) numpy pytree for feeding shard_map.
+
+        ``neighbor=True`` attaches the pack-list tables so exchanges run
+        neighbor-wise (ppermute, O(local interface)) instead of through
+        the global psum fallback."""
+        m = self.maps
+        nbr = {}
+        if neighbor and self.storage.num_shards > 1:
+            slot_lid, L_max, pack, recv, perms = self._nbr_tables
+            nbr = dict(nbr_slot_lid=slot_lid, nbr_pack=pack, nbr_recv=recv,
+                       nbr_num_local=L_max, nbr_perms=perms)
         return P1ShardData(
             slot_flat=np.asarray(m.slot_flat),
             slot_gid=np.asarray(m.slot_gid),
@@ -315,9 +411,31 @@ class P1Space:
                 self.storage.num_shards, self.C_loc, self.dim + 1, 3
             ).astype(np.float32),
             bc=bc,
+            **nbr,
         )
 
     # -- exchanges (the halo-communication analog) ---------------------------
+
+    def _exchange_nbr(self, u, sd: P1ShardData, axis_name, vals) -> jnp.ndarray:
+        """Neighbor-wise additive exchange: local segment-sum, then one
+        ppermute per edge-coloring round with per-pair pack lists —
+        per-apply comm volume O(local interface), independent of the
+        global interface size (reference: PackInfo.hpp:43-183,
+        BufferedCommunication.hpp:92-119)."""
+        flat = u.reshape(-1)
+        L = sd.nbr_num_local
+        lsum0 = jax.ops.segment_sum(vals, sd.nbr_slot_lid,
+                                    num_segments=L + 1)
+        lsum0 = lsum0.at[L].set(0.0)  # dump bucket collects padded slots
+        acc = lsum0
+        for r, perm in enumerate(sd.nbr_perms):
+            if not perm:
+                continue
+            buf = lsum0[sd.nbr_pack[r]]
+            rv = jax.lax.ppermute(buf, axis_name, perm)
+            acc = acc.at[sd.nbr_recv[r]].add(rv)
+        flat = flat.at[sd.slot_flat].set(acc[sd.nbr_slot_lid], mode="drop")
+        return flat.reshape(u.shape)
 
     def exchange_add(self, u, sd=None, axis_name=None) -> jnp.ndarray:
         """Replicas <- sum over replicas (additive halo exchange)."""
@@ -326,6 +444,8 @@ class P1Space:
             return self.dense_ifc.exchange_add(u)
         flat = u.reshape(-1)
         vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
+        if axis_name is not None and sd.nbr_pack is not None:
+            return self._exchange_nbr(u, sd, axis_name, vals)
         g = jax.ops.segment_sum(
             vals, sd.slot_gid, num_segments=self.maps.num_ifc + 1
         )
@@ -341,6 +461,9 @@ class P1Space:
             return self.dense_ifc.exchange_rep(u)
         flat = u.reshape(-1)
         vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
+        if axis_name is not None and sd.nbr_pack is not None:
+            return self._exchange_nbr(u, sd, axis_name,
+                                      jnp.where(sd.slot_rep, vals, 0))
         g = jax.ops.segment_sum(
             jnp.where(sd.slot_rep, vals, 0),
             sd.slot_gid,

@@ -80,6 +80,7 @@ def p1_apply_local(
     pitch: int | None = None,
     coeff: jnp.ndarray | None = None,
     coeff_avg: str = "arithmetic",
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Per-cell operator apply (partial sums on interface rows).
 
@@ -87,27 +88,69 @@ def p1_apply_local(
     elmats: (C, T, nv, nv)
     coeff:  optional nodal field (same shape as src); each element is scaled
             by the mean of its nv vertex values (variable-coefficient path).
+
+    Default: a ``lax.scan`` over the T element classes with dynamic cyclic
+    rolls — the XLA graph is one class body instead of T unrolled copies
+    (the unrolled form made every CPU GMG compile minutes-long).  Cyclic
+    wrap is exact here: every term is multiplied by its base-region mask
+    BEFORE the write roll, so wrapped entries are zeros, and reads of
+    valid bases never leave the block.  ``unroll=True`` keeps the
+    statically-shifted zero-fill form (independent reference for gates).
     """
     N = (1 << level) + 1
     pitch = N if (pitch is None or dim == 2) else pitch
     offs = micro.offsets(dim)  # (T, nv, dim)
     T, nv = offs.shape[0], offs.shape[1]
     masks = _class_masks(level, dim, pitch, str(src.dtype))
-    dst = jnp.zeros_like(src)
-    for t in range(T):
-        reads = [_shift_read(src, offs[t, b], pitch, dim) for b in range(nv)]
+    if unroll:
+        dst = jnp.zeros_like(src)
+        for t in range(T):
+            reads = [_shift_read(src, offs[t, b], pitch, dim)
+                     for b in range(nv)]
+            if coeff is not None:
+                creads = [_shift_read(coeff, offs[t, b], pitch, dim)
+                          for b in range(nv)]
+                scale = coeff_average(creads, coeff_avg)
+            base_mask = jnp.asarray(masks[t])
+            for a in range(nv):
+                acc = elmats[:, t, a, 0].reshape(-1, 1, 1) * reads[0]
+                for b in range(1, nv):
+                    acc = acc + elmats[:, t, a, b].reshape(-1, 1, 1) * reads[b]
+                if coeff is not None:
+                    acc = acc * scale
+                dst = dst + _shift_write(acc * base_mask, offs[t, a],
+                                         pitch, dim)
+        return dst
+
+    if dim == 3:
+        lshift = offs[:, :, 1] * pitch + offs[:, :, 2]  # (T, nv)
+    else:
+        lshift = offs[:, :, 1]
+    xshift = offs[:, :, 0]
+    joffs = jnp.asarray(np.stack([xshift, lshift], axis=-1))  # (T, nv, 2)
+    jmask = jnp.asarray(np.stack(masks))                      # (T, N, L)
+
+    def roll2(u, dx, ls):
+        return jnp.roll(jnp.roll(u, -dx, axis=-2), -ls, axis=-1)
+
+    def body(dst, t):
+        off = joffs[t]                       # (nv, 2) traced ints
+        mask = jmask[t]
+        em = jnp.take(elmats, t, axis=1)     # (C, nv, nv)
+        reads = [roll2(src, off[b, 0], off[b, 1]) for b in range(nv)]
         if coeff is not None:
-            creads = [_shift_read(coeff, offs[t, b], pitch, dim)
-                      for b in range(nv)]
+            creads = [roll2(coeff, off[b, 0], off[b, 1]) for b in range(nv)]
             scale = coeff_average(creads, coeff_avg)
-        base_mask = jnp.asarray(masks[t])
         for a in range(nv):
-            acc = elmats[:, t, a, 0].reshape(-1, 1, 1) * reads[0]
+            acc = em[:, a, 0].reshape(-1, 1, 1) * reads[0]
             for b in range(1, nv):
-                acc = acc + elmats[:, t, a, b].reshape(-1, 1, 1) * reads[b]
+                acc = acc + em[:, a, b].reshape(-1, 1, 1) * reads[b]
             if coeff is not None:
                 acc = acc * scale
-            dst = dst + _shift_write(acc * base_mask, offs[t, a], pitch, dim)
+            dst = dst + roll2(acc * mask, -off[a, 0], -off[a, 1])
+        return dst, None
+
+    dst, _ = jax.lax.scan(body, jnp.zeros_like(src), jnp.arange(T))
     return dst
 
 

@@ -38,13 +38,11 @@ def device_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _sd_specs(bc: BoundaryCondition | None = None) -> P1ShardData:
-    """in_specs pytree for stacked shard data (leading device axis).
-
-    The aux metadata (bc) must match the actual shard-data pytree exactly —
-    shard_map compares treedefs including static fields."""
-    spec = P(AXIS)
-    return P1ShardData(*([spec] * 7), bc=bc)
+def _sd_specs(sd: P1ShardData) -> P1ShardData:
+    """in_specs pytree for stacked shard data (leading device axis) —
+    mirrored from the actual pytree so optional leaves (neighbor-exchange
+    tables) stay in sync; shard_map compares treedefs incl. static aux."""
+    return jax.tree.map(lambda _: P(AXIS), sd)
 
 
 def _squeeze_sd(sd: P1ShardData) -> P1ShardData:
@@ -96,7 +94,7 @@ class SpmdContext:
                 return fn(*xs, *sd_local)
 
             specs_in = tuple([P(AXIS)] * n_array_args) + tuple(
-                _sd_specs(s.bc) for s in sds
+                _sd_specs(s) for s in sds
             )
             return shard_map(
                 body, mesh=self.mesh, in_specs=specs_in, out_specs=out_spec,
@@ -237,7 +235,7 @@ def build_spmd_stokes_vcycle(
     sds = vel_sds + pre_sds
 
     def wrapped(x: TaylorHoodVec, b: TaylorHoodVec):
-        specs_sd = tuple(_sd_specs(s.bc) for s in sds)
+        specs_sd = tuple(_sd_specs(s) for s in sds)
         vspec = (P(AXIS),) * dim
 
         def body(xv, xp, bv, bp, *sd_stacked):

@@ -65,14 +65,27 @@ class GeometricMultigridSolver:
         self.cycle_type = cycle_type
         self.inc = smooth_increment_on_coarser
 
+    @staticmethod
+    def _repeat_smooth(smooth, x, b, count: int):
+        """``count`` smoothing steps as ONE scanned apply instance — the
+        unrolled form made GMG compile time scale with pre/post counts."""
+        if count <= 0:
+            return x
+        if count == 1:
+            return smooth(x, b)
+        import jax
+
+        x, _ = jax.lax.scan(lambda c, _: (smooth(c, b), None), x, None,
+                            length=count)
+        return x
+
     def cycle(self, x, b, level: int | None = None):
         level = self.max_level if level is None else level
         if level == self.min_level:
             return self.coarse_solve(b, x)
         L = self.levels[level]
         extra = self.inc * (self.max_level - level)
-        for _ in range(self.pre + extra):
-            x = L.smooth(x, b)
+        x = self._repeat_smooth(L.smooth, x, b, self.pre + extra)
         r = L.residual(x, b) if L.residual is not None else b - L.apply(x)
         r_c = L.restrict(r)
         x_c = self.levels[level - 1].zeros()
@@ -80,9 +93,7 @@ class GeometricMultigridSolver:
         if self.cycle_type == CycleType.W and level - 1 > self.min_level:
             x_c = self.cycle(x_c, r_c, level - 1)
         x = L.prolongate_add(x_c, x)
-        for _ in range(self.post + extra):
-            x = L.smooth(x, b)
-        return x
+        return self._repeat_smooth(L.smooth, x, b, self.post + extra)
 
     def solve(self, x, b, num_cycles: int):
         for _ in range(num_cycles):

@@ -84,10 +84,17 @@ def chebyshev_smooth(
     d = r / theta
     x = x + d
     rho = 1.0 / sigma
-    for _ in range(order - 1):
+
+    # scan the three-term recurrence (carrying the scalar rho) so the
+    # XLA graph holds ONE apply instead of ``order`` — compile time of
+    # every GMG stack scales with the number of inlined applies
+    def body(carry, _):
+        x, d, rho = carry
         rho_new = 1.0 / (2.0 * sigma - rho)
         r = inv_diag * (b - apply_fn(x))
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
-        x = x + d
-        rho = rho_new
+        return (x + d, d, rho_new), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, d, jnp.asarray(rho, x.dtype)), None, length=order - 1)
     return x

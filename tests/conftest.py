@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite rebuilds near-identical GMG
+# stacks in many test files; caching compiled executables across tests and
+# runs cuts total wall time several-fold.
+jax.config.update("jax_compilation_cache_dir", "/tmp/hyteg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
