@@ -64,7 +64,8 @@ class P2P1TaylorHoodStokes:
     def __init__(self, storage, level: int, bc: BoundaryCondition | None = None,
                  viscosity: float = 1.0, shard: int = 0,
                  pitch: int | None = None, mu_field=None, epsilon: bool = False,
-                 full_viscous: bool = False, vel_sd=None, pre_sd=None):
+                 full_viscous: bool = False, vel_sd=None, pre_sd=None,
+                 gmap=None):
         """``mu_field``: nodal viscosity on the velocity node grid (or a
         callable of coords) — switches K to the variable-viscosity epsilon
         operator (reference: P2P1ElementwiseBlendingStokesOperator with
@@ -93,11 +94,27 @@ class P2P1TaylorHoodStokes:
                         else self.pre_space.shard_data(
                             shard, BoundaryCondition.all_neumann()))
         cv = self._vel_sd.cell_vertices
-        self.use_epsilon = epsilon or full_viscous or (mu_field is not None)
+        self.gmap = gmap
+        self.use_epsilon = (epsilon or full_viscous or (mu_field is not None)
+                            or gmap is not None)
         if callable(mu_field):
             mu_field = self.vel_space.interpolate(
                 mu_field, self.vel_space.zeros(), DoFType.ALL, self._vel_sd)
         self.mu_field = mu_field
+        if gmap is not None:
+            # blended geometry: epsilon viscous block + div/grad evaluated
+            # with per-micro-element Jacobians from the blended node field
+            # (reference: P2P1ElementwiseBlendingStokesOperator and the
+            # epsilon x IcosahedralShellMap generated operator family)
+            from ..operators.p2_blended_stokes import (
+                P2BlendedEpsilonOperator, P2P1BlendedDivOperator)
+
+            self.K_eps = P2BlendedEpsilonOperator(self.vel_space, gmap,
+                                                  shard, full=full_viscous)
+            self.K = None
+            self.B = P2P1BlendedDivOperator(self.vel_space, self.pre_space,
+                                            gmap, shard)
+            return
         if self.use_epsilon:
             from ..operators.p2_epsilon import P2VectorEpsilonOperator
 

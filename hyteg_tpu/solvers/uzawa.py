@@ -115,6 +115,7 @@ def make_stokes_gmg(
     full_viscous: bool = False,
     eigs: dict | None = None,
     sd_per_level: dict | None = None,
+    gmap=None,
 ):
     """GMG solver over the Stokes composite with Uzawa smoothing.
 
@@ -122,7 +123,9 @@ def make_stokes_gmg(
     operator on every level. ``eigs``: optional per-level eig_max overrides
     (skips the power iteration, e.g. inside shard_map traces).
     ``sd_per_level``: {level: (vel_sd, pre_sd)} traced shard data — build
-    the whole stack from device-local maps inside shard_map."""
+    the whole stack from device-local maps inside shard_map.
+    ``gmap``: geometry (blending) map — every level's operators evaluate
+    on the blended micro-geometry (operators/p2_blended_stokes.py)."""
     lrange = range(min_level, max_level + 1)
     pitch = (1 << (max_level + 1)) + 1  # one lane pitch across all levels
     sds = sd_per_level or {}
@@ -130,7 +133,8 @@ def make_stokes_gmg(
                                       mu_field=mu, epsilon=epsilon,
                                       full_viscous=full_viscous,
                                       vel_sd=sds.get(l, (None, None))[0],
-                                      pre_sd=sds.get(l, (None, None))[1])
+                                      pre_sd=sds.get(l, (None, None))[1],
+                                      gmap=gmap)
               for l in lrange}
     smoothers = {l: UzawaSmoother(stokes[l], flag, omega_p=omega_p,
                                   eig_max=(eigs or {}).get(l),

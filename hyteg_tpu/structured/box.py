@@ -103,6 +103,19 @@ class BoxDomain:
     def interior_mask(self) -> np.ndarray:
         return (1.0 - self.boundary_mask).astype(np.float32)
 
+    def interior_mask_traced(self) -> jnp.ndarray:
+        """Interior mask built in-trace from an iota plus an (L,)-sized
+        lane constant — at 1e9 DoFs the materialized (X, L) mask is a
+        4.3 GB captured constant in every jit using it; this form costs
+        one fused broadcast."""
+        X, Y, Z = self.dims
+        y, z = self.lane_yz
+        lane_in = jnp.asarray(
+            (y > 0) & (y < Y - 1) & (z > 0) & (z < Z - 1))
+        xs = jnp.arange(X)
+        inner = ((xs > 0) & (xs < X - 1))[:, None] & lane_in[None, :]
+        return inner.astype(self.dtype)
+
     def zeros(self) -> jnp.ndarray:
         return jnp.zeros(self.block_shape, dtype=self.dtype)
 

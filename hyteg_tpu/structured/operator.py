@@ -110,6 +110,12 @@ class BoxStencilOperator:
 
     # -- diagonal (eager: lazy caching under jit would leak tracers) ----------
 
+    def inverse_diagonal_traced(self) -> jnp.ndarray:
+        """1/diag built in-trace (the eager attribute is a full (X, L)
+        concrete array — a 4.3 GB captured constant at 1e9 DoFs)."""
+        d = self._compute_diagonal()
+        return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
     def _compute_diagonal(self) -> jnp.ndarray:
         X, _, _ = self.domain.dims
         dirs = kuhn.stencil_dirs()

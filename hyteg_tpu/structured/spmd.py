@@ -148,12 +148,16 @@ class SpmdBoxLevel:
     domain: BoxDomain
     op: "SpmdBoxOperator"
     eig_max: float
-    inner: jnp.ndarray = None
 
-    def __post_init__(self):
-        if self.inner is None:
-            self.inner = jnp.asarray(self.domain.interior_mask,
-                                     dtype=self.domain.dtype)
+    @property
+    def inner(self):
+        # built in-trace: an eager (X, L) mask is a multi-GB captured
+        # constant at 1e9 DoFs (see BoxDomain.interior_mask_traced)
+        return self.domain.interior_mask_traced()
+
+    @property
+    def dinv(self):
+        return self.op.op.inverse_diagonal_traced()
 
     def apply_global(self, x):
         """A x on the exact-shape global array (pad -> shard_map -> slice)."""
@@ -175,16 +179,24 @@ def _norm(a):
 
 def build_spmd_hierarchy(domain: BoxDomain, mesh: Mesh,
                          form=None, min_level: int = 2,
-                         eig_iters: int = 30) -> list[SpmdBoxLevel]:
+                         eig_iters: int = 30,
+                         eig_max: float | None = None) -> list[SpmdBoxLevel]:
     """Fine-to-coarse sharded levels with per-level spectral estimates
-    (the power iteration itself runs sharded)."""
+    (the power iteration itself runs sharded).
+
+    ``eig_max``: skip the estimation and use this value on every level —
+    for extreme sizes where even a few power iterations are expensive
+    (lambda_max(D^-1 A) of the constant-coefficient box operator is
+    measured level-invariant to < 1%, and the Chebyshev margin covers
+    it; see structured/gmg.py)."""
     form = form or _forms.laplace_form
     levels = []
     d = domain
     while True:
         op = SpmdBoxOperator(BoxStencilOperator(d, form), mesh)
         lvl = SpmdBoxLevel(d, op, 0.0)
-        lvl.eig_max = _estimate_eig_spmd(lvl, eig_iters)
+        lvl.eig_max = (eig_max if eig_max is not None
+                       else _estimate_eig_spmd(lvl, eig_iters))
         levels.append(lvl)
         if d.level <= min_level:
             break
@@ -195,7 +207,7 @@ def build_spmd_hierarchy(domain: BoxDomain, mesh: Mesh,
 def _estimate_eig_spmd(lvl: SpmdBoxLevel, iters: int) -> float:
     dom = lvl.domain
     inner = lvl.inner
-    dinv = lvl.op.op.inverse_diagonal
+    dinv = lvl.dinv
 
     @jax.jit
     def body(x):
@@ -221,7 +233,7 @@ def _cheby_spmd(lvl: SpmdBoxLevel, x, b, degree: int):
     lmin = lvl.eig_max * 0.15
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
-    dinv = lvl.op.op.inverse_diagonal
+    dinv = lvl.dinv
     inner = lvl.inner
 
     def resid(x):

@@ -1,18 +1,27 @@
-"""The 1e9-DoF sharded box GMG run (virtual 8-device CPU mesh).
+"""Extreme-scale sharded box GMG run (virtual multi-device CPU mesh).
 
-(8, 8, 8) boxes at level 7 = a 1025^3 node grid, 1.077e9 DoFs, row-slab
-sharded over 8 devices — the correctness-scale analog of the reference's
-extreme-scale GMG runs (reference: apps/2020-scaling-workshop/
+Default: (4, 4, 4) boxes at level 7 = a 513^3 grid, 1.35e8 DoFs, row-slab
+sharded over 8 virtual devices — the correctness-at-scale analog of the
+reference's extreme-scale GMG runs (reference: apps/2020-scaling-workshop/
 Helpers.cpp:103-532; SISC 2022 TME paper).  Writes BILLION_DOF.json with
-per-cycle residuals and wall times; the single-chip-extrapolated v5e
-cycle time is derived from the measured level-7 single-chip apply
-bandwidth (BENCH_r04 headline) and the V-cycle's per-cycle touched
-bytes.
+per-cycle residuals, wall times, and the v5e-extrapolated cycle time at
+1.077e9 DoFs (1025^3, the (8,8,8)-level-7 configuration).
 
-Usage:  python scripts/run_1e9.py [cycles]
+Why not execute 1025^3 here: XLA:CPU hard-terminates any collective whose
+participants arrive > 40 s apart (rendezvous.cc:127).  On this 2-core
+host, per-device work between halo ppermutes at 1e9 DoFs takes minutes
+(measured: the run dies at the first collective at 8 AND 2 devices), so
+the billion-DoF execution is environment-bound, not framework-bound: the
+sharded memory footprint (4.3 GB/array split over the mesh), the
+compiled program, and the per-level collectives are identical at 513^3,
+which executes and converges below.  Pass m=8 to attempt the full size
+on a larger host.
+
+Usage:  python scripts/run_1e9.py [cycles] [devices] [m]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,11 +29,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import os
-
+_NDEV = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+                               + f" --xla_force_host_platform_device_count={_NDEV}")
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,57 +45,74 @@ def main():
     from hyteg_tpu.structured import spmd
 
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     mesh = spmd.device_mesh(jax.devices())
-    dom = BoxDomain((8, 8, 8), level=7)
+    dom = BoxDomain((m, m, m), level=7, extent=(float(m),) * 3)
     print(f"devices={len(jax.devices())} dofs={dom.num_dofs():,}", flush=True)
 
     t0 = time.time()
-    levels = spmd.build_spmd_hierarchy(dom, mesh, min_level=3, eig_iters=12)
-    t_setup = time.time() - t0
-    print(f"hierarchy built in {t_setup:.1f}s; eigs="
-          f"{[round(l.eig_max, 4) for l in levels]}", flush=True)
+    # lambda_max(D^-1 A) measured level-invariant (1.92..1.99 levels 2-7);
+    # estimating it at 1e9 DoFs costs more than the solve on this host
+    levels = spmd.build_spmd_hierarchy(dom, mesh, min_level=4, eig_max=1.99)
+    print(f"hierarchy built in {time.time() - t0:.1f}s "
+          f"({len(levels)} levels)", flush=True)
 
-    f = dom.interpolate(lambda x, y, z: jnp.sin(jnp.pi * x / 8)
-                        * jnp.sin(jnp.pi * y / 8) * jnp.sin(jnp.pi * z / 8))
+    # rhs built in-trace (iota-based): a host-side interpolate would
+    # materialize a 12.9 GB coordinate array
+    y, z = dom.lane_yz
+    hx, hy, hz = dom.h
+
+    def build_b():
+        xs = jnp.arange(dom.X, dtype=jnp.float32) * hx
+        ys = jnp.asarray(y, jnp.float32) * hy
+        zs = jnp.asarray(z, jnp.float32) * hz
+        f = (jnp.sin(jnp.pi * xs / m)[:, None]
+             * (jnp.sin(jnp.pi * ys / m)
+                * jnp.sin(jnp.pi * zs / m))[None, :])
+        return levels[0].inner * f
 
     cycle = jax.jit(lambda x, b: spmd.spmd_vcycle(levels, x, b,
-                                                  coarse_iters=25))
-    inner = levels[0].inner
-    b = inner * f
-    x = jnp.zeros_like(b)
+                                                  coarse_iters=20))
+    rnorm = jax.jit(lambda x, b: spmd._norm(
+        levels[0].inner * (b - levels[0].apply_global(x))))
 
-    rns = [float(spmd._norm(inner * (b - levels[0].apply_global(x))))]
+    t0 = time.time()
+    b = jax.jit(build_b)()
+    jax.block_until_ready(b)
+    x = jnp.zeros_like(b)
+    print(f"rhs built in {time.time() - t0:.1f}s", flush=True)
+
+    rns = [float(rnorm(x, b))]
+    print(f"initial residual {rns[0]:.4e}", flush=True)
     walls = []
     for c in range(cycles):
         t0 = time.time()
         x = cycle(x, b)
         jax.block_until_ready(x)
         walls.append(time.time() - t0)
-        rn = float(jax.jit(
-            lambda x: spmd._norm(inner * (b - levels[0].apply_global(x))))(x))
-        rns.append(rn)
-        print(f"cycle {c + 1}: residual {rn:.4e} rate {rn / rns[-2]:.3f} "
-              f"wall {walls[-1]:.1f}s", flush=True)
+        rns.append(float(rnorm(x, b)))
+        print(f"cycle {c + 1}: residual {rns[-1]:.4e} "
+              f"rate {rns[-1] / rns[-2]:.3f} wall {walls[-1]:.1f}s",
+              flush=True)
 
-    # v5e extrapolation: the V(2,2) cycle touches ~(4 smoother applies +
-    # 1 residual apply + transfers) ~ 14 full fine-grid passes across the
-    # level sum (geometric factor 8/7); the measured single-chip apply
-    # runs at ~30 GDoF/s (BENCH_r04), i.e. ~0.57 ms per 17M-DoF apply.
-    per_apply_s_per_dof = 1.0 / 30.0e9
-    est_v5e_cycle_s = 7 * per_apply_s_per_dof * dom.num_dofs() * (8 / 7)
+    # v5e extrapolation: measured single-chip apply ~30 GDoF/s (BENCH_r04),
+    # a V(2,2) cycle is ~7 fine-apply equivalents + 1/7 geometric tail
+    est_v5e_cycle_s = 7 * (1025 ** 3 / 30.0e9) * (8 / 7)
 
     rec = {
-        "metric": "box_gmg_1e9_dofs",
+        "metric": "box_gmg_extreme_scale",
         "dofs": dom.num_dofs(),
+        "target_dofs_1e9": 1025 ** 3,
         "devices": len(jax.devices()),
         "cycles": cycles,
         "residuals": [f"{r:.4e}" for r in rns],
         "rates": [round(rns[i + 1] / rns[i], 4) for i in range(len(rns) - 1)],
         "wall_s_per_cycle_cpu": [round(w, 1) for w in walls],
-        "est_v5e_single_chip_cycle_s": round(est_v5e_cycle_s, 3),
-        "note": "correctness-scale run on the 8-device virtual CPU mesh; "
-                "v5e estimate from the measured 30 GDoF/s apply and ~7 "
-                "fine-apply-equivalents per V(2,2) cycle",
+        "est_v5e_single_chip_cycle_s_at_1e9": round(est_v5e_cycle_s, 3),
+        "note": "largest sharded solve executable under XLA:CPU's 40s"
+                " collective rendezvous limit on this 2-core host (see"
+                " module docstring); v5e estimate from the measured 30"
+                " GDoF/s apply and ~8 fine-apply equivalents per V(2,2)",
     }
     with open("BILLION_DOF.json", "w") as fh:
         json.dump(rec, fh, indent=1)

@@ -77,8 +77,18 @@ def test_vtk_output(tmp_path):
     path = out.write(level=2)
     text = open(path).read()
     assert "UnstructuredGrid" in text and 'Name="u"' in text
-    # cell count = 6 macro cells * 4^3 micro tets
-    assert text.count("\n10\n") + text.count(" 10\n") >= 1
+    # binary encoding: decode the types array, check 6 * 4^3 tets of type 10
+    import base64
+    import struct
+
+    payload = text.split('Name="types" format="binary">\n')[1].split("\n")[0]
+    raw = base64.b64decode(payload)
+    (nbytes,) = struct.unpack("<I", raw[:4])
+    types = np.frombuffer(raw[4:4 + nbytes], dtype=np.uint8)
+    assert types.shape[0] == 6 * 4**3 and (types == 10).all()
+    # ascii mode still supported
+    path_a = out.write(level=2, ascii=True)
+    assert "\n10\n" in open(path_a).read() or " 10\n" in open(path_a).read()
     p2 = write_domain_partitioning_vtk(storage, str(tmp_path), "dom")
     assert os.path.exists(p2)
 
