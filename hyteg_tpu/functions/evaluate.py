@@ -56,7 +56,8 @@ class FieldEvaluator:
     """
 
     def __init__(self, storage: CellStorage, level: int, degree: int = 1,
-                 dtype=jnp.float32, pitch: int | None = None):
+                 dtype=jnp.float32, pitch: int | None = None,
+                 use_buckets: bool = True):
         self.storage = storage
         self.level = level
         self.degree = degree
@@ -87,10 +88,66 @@ class FieldEvaluator:
         if degree == 2:
             self._pairs = _p2_pair_table(dim)
 
+        # uniform-grid bucket accelerator: per bucket, the cells whose
+        # AABB overlaps it — the dense O(Q*C) scan becomes O(Q*K)
+        # (reference analog: the octree/neighbor-walk of the host-side
+        # point search, compiled to a static gather table)
+        self._buckets = None
+        if use_buckets and valid.sum() > 8:
+            self._buckets = self._build_buckets(verts, valid)
+
+    def _build_buckets(self, verts, valid):
+        dim = self.dim
+        C = verts.shape[0]
+        lo = verts[valid].reshape(-1, dim).min(0)
+        hi = verts[valid].reshape(-1, dim).max(0)
+        G = max(2, int(round((2.0 * valid.sum()) ** (1.0 / dim))))
+        scale = G / np.maximum(hi - lo, 1e-300)
+        cand: dict[tuple, list] = {}
+        for c in range(C):
+            if not valid[c]:
+                continue
+            cl = np.clip(np.floor((verts[c].min(0) - lo) * scale
+                                  - 1e-9).astype(int), 0, G - 1)
+            ch = np.clip(np.floor((verts[c].max(0) - lo) * scale
+                                  + 1e-9).astype(int), 0, G - 1)
+            rng = [range(cl[d], ch[d] + 1) for d in range(dim)]
+            import itertools
+
+            for key in itertools.product(*rng):
+                cand.setdefault(key, []).append(c)
+        K = max(len(v) for v in cand.values())
+        shape = (G,) * dim + (K,)
+        # empty buckets (e.g. inside an annulus hole) fall back to cell 0:
+        # out-of-domain queries clamp to *a* boundary cell, which is the
+        # documented clamping semantics of this evaluator
+        table = np.zeros(shape, dtype=np.int32)
+        for key, cells in cand.items():
+            row = np.asarray(cells + [cells[-1]] * (K - len(cells)))
+            table[key] = row
+        return (jnp.asarray(table), jnp.asarray(lo, self.dtype),
+                jnp.asarray(scale, self.dtype), G)
+
     # -- stage 1: macro-cell location ----------------------------------------
 
     def locate_cells(self, pts: jnp.ndarray):
         """pts (Q, dim) -> (cell index (Q,), barycentric tail lam (Q, dim))."""
+        if self._buckets is not None:
+            table, lo, scale, G = self._buckets
+            ib = jnp.clip(jnp.floor((pts - lo) * scale).astype(jnp.int32),
+                          0, G - 1)
+            cand = table[tuple(ib[:, d] for d in range(self.dim))]  # (Q, K)
+            v0c = self._v0[cand]                       # (Q, K, dim)
+            JTc = self._JTinv[cand]
+            d = pts[:, None, :] - v0c
+            lam = jnp.einsum("qkde,qke->qkd", JTc, d)
+            lam0 = 1.0 - lam.sum(-1)
+            minl = jnp.minimum(lam.min(-1), lam0)
+            minl = jnp.where(self._invalid[cand], -jnp.inf, minl)
+            k = jnp.argmax(minl, axis=1)
+            c = jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0]
+            lam_c = jnp.take_along_axis(lam, k[:, None, None], axis=1)[:, 0]
+            return c, lam_c
         d = pts[:, None, :] - self._v0[None]            # (Q, C, dim)
         lam = jnp.einsum("cde,qce->qcd", self._JTinv, d)  # (Q, C, dim)
         lam0 = 1.0 - lam.sum(-1)
