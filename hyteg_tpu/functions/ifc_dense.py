@@ -391,9 +391,18 @@ class DenseIfc:
     # canonicalization
     # ------------------------------------------------------------------
 
+    @functools.cached_property
+    def _canon_trivial(self) -> bool:
+        """True when every face is already in its canonical frame — always
+        the case for sorted-vertex storages (primitives/topology.py)."""
+        ident = self.perms.index((0, 1, 2))
+        return bool(np.all(self.face_perm_id == ident))
+
     def _canon_faces(self, faces) -> jnp.ndarray:
         """(C*4, N, N) rows mapped into their macro-face canonical frame."""
         rows = faces.reshape(-1, self.N, self.N)
+        if self._canon_trivial:
+            return rows
         variants = []
         W = self.shear_W
         for perm in self.perms:
@@ -406,6 +415,8 @@ class DenseIfc:
         )[0]
 
     def _decanon_faces(self, canon_rows) -> jnp.ndarray:
+        if self._canon_trivial:
+            return canon_rows.reshape(self.C, 4, self.N, self.N)
         variants = []
         W = self.shear_W
         for perm in self.perms:
@@ -418,10 +429,14 @@ class DenseIfc:
 
     def _canon_edges(self, edges) -> jnp.ndarray:
         rows = edges.reshape(-1, self.N)
+        if not bool(self.edge_flip.any()):
+            return rows
         flip = jnp.asarray(self.edge_flip)[:, None]
         return jnp.where(flip, rows[:, ::-1], rows)
 
     def _decanon_edges(self, canon_rows) -> jnp.ndarray:
+        if not bool(self.edge_flip.any()):
+            return canon_rows.reshape(self.C, -1, self.N)
         flip = jnp.asarray(self.edge_flip)[:, None]
         rows = jnp.where(flip, canon_rows[:, ::-1], canon_rows)
         return rows.reshape(self.C, -1, self.N)

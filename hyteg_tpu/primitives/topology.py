@@ -64,7 +64,14 @@ def _unique_subsimplices(elements: np.ndarray, k: int) -> np.ndarray:
 
 def build_topology(mesh: MeshInfo) -> MacroTopology:
     dim = mesh.dim
-    elements = np.asarray(mesh.elements, dtype=np.int64)
+    # Canonical local vertex order: ascending global id (Bey's sorted-vertex
+    # rule). This makes the per-cell Kuhn micro-refinement conforming across
+    # every shared face/edge and turns all interface frame transforms into
+    # identities (every face triple / edge pair of a sorted cell is itself
+    # sorted) — the exchange fast paths in functions/ifc_dense.py and
+    # tetpair/small.py rely on it. P1 spaces are insensitive to the
+    # orientation change (forms use |det J|).
+    elements = np.sort(np.asarray(mesh.elements, dtype=np.int64), axis=1)
     edges = _unique_subsimplices(elements, 2)
     faces = (
         _unique_subsimplices(elements, 3) if dim == 3 else np.zeros((0, 3), np.int64)
