@@ -11,9 +11,14 @@ and do not pay for this.  Set HYTEG_TPU_FAST_MATMUL=1 before import to
 opt out for ML-style workloads layered on top.
 """
 
+import logging
 import os
 
 import jax
 
 if not os.environ.get("HYTEG_TPU_FAST_MATMUL"):
     jax.config.update("jax_default_matmul_precision", "highest")
+    logging.getLogger(__name__).info(
+        "hyteg_tpu: set jax_default_matmul_precision='highest' "
+        "(solver dot products must not round to bf16; opt out with "
+        "HYTEG_TPU_FAST_MATMUL=1)")

@@ -37,20 +37,32 @@ def gate_box_apply(op, u) -> None:
 
 
 def gate_residuals(rns, what: str, max_rate: float = 0.5,
-                   min_cycles: int = 3) -> None:
-    """Assert a residual history converges: monotone decrease over the
-    pre-roundoff window and a mean reduction factor below ``max_rate``."""
+                   min_cycles: int = 3, floor_rel: float = 1e-6) -> None:
+    """Assert a residual history converges over the WHOLE pre-floor
+    window: monotone decrease and a mean reduction factor below
+    ``max_rate`` until the residual reaches ``floor_rel`` of its start
+    (the f32 round-off floor). A solver stalling above the floor after a
+    few good cycles fails the gate (round-4 review: the old 3-cycle
+    window would have let that through)."""
     rns = [float(r) for r in rns]
     if len(rns) < min_cycles + 1:
         raise BenchGateError(f"gate failed: {what}: too few cycles {rns}")
     if not all(np.isfinite(rns)):
         raise BenchGateError(f"gate failed: {what}: non-finite {rns}")
-    window = rns[: min_cycles + 1]
+    floor = floor_rel * rns[0]
+    end = len(rns) - 1
+    for i, r in enumerate(rns):
+        if r <= floor:
+            end = i
+            break
+    end = max(end, min_cycles)
+    window = rns[: end + 1]
     for a, b in zip(window, window[1:]):
-        if b >= a:
+        if b >= a and a > floor:
             raise BenchGateError(
-                f"gate failed: {what}: residuals not decreasing {rns}")
-    rate = (window[-1] / window[0]) ** (1.0 / min_cycles)
+                f"gate failed: {what}: residuals not decreasing before "
+                f"the round-off floor {rns}")
+    rate = (window[-1] / window[0]) ** (1.0 / (len(window) - 1))
     if rate > max_rate:
         raise BenchGateError(
             f"gate failed: {what}: mean rate {rate:.3f} > {max_rate}")

@@ -68,6 +68,33 @@ def marginal_time(step: Callable, x, l1: int = 8, l2: int = 32,
     return max((t2 - t1) / (l2 - l1), 1e-12)
 
 
+def eager_marginal_time(step: Callable, x, k1: int = 3, k2: int = 12,
+                        repeats: int = 3) -> float:
+    """Marginal time per step for EXPENSIVE jitted steps (>> the ~20 ms
+    RPC floor, e.g. whole V-cycles): launch k eager iterations (async
+    dispatch pipelines the RPCs), block once at the end, and take the
+    marginal between two counts. Avoids compiling scan-wrapped chains of
+    an already multi-minute-compile program."""
+    jstep = jax.jit(step)
+
+    def run(k):
+        y = x
+        for _ in range(k):
+            y = jstep(y)
+        jax.tree_util.tree_leaves(y)[0].block_until_ready()
+
+    run(1)  # compile
+    best1 = best2 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(k1)
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(k2)
+        best2 = min(best2, time.perf_counter() - t0)
+    return (best2 - best1) / (k2 - k1)
+
+
 def auto_time(step: Callable, x, repeats: int = 3,
               min_window_s: float = 0.25, max_len: int = 4096) -> float:
     """Marginal time with the chain length sized so the marginal window

@@ -118,13 +118,24 @@ class FieldEvaluator:
                 cand.setdefault(key, []).append(c)
         K = max(len(v) for v in cand.values())
         shape = (G,) * dim + (K,)
-        # empty buckets (e.g. inside an annulus hole) fall back to cell 0:
-        # out-of-domain queries clamp to *a* boundary cell, which is the
-        # documented clamping semantics of this evaluator
+        # empty buckets (e.g. inside an annulus hole) take the candidate
+        # list of the NEAREST non-empty bucket, so out-of-domain queries
+        # clamp to a geometrically close boundary cell — matching the
+        # dense scan's max-min-barycentric clamping semantics instead of
+        # an arbitrary cell-0 fallback
         table = np.zeros(shape, dtype=np.int32)
+        filled = np.zeros((G,) * dim, dtype=bool)
         for key, cells in cand.items():
             row = np.asarray(cells + [cells[-1]] * (K - len(cells)))
             table[key] = row
+            filled[key] = True
+        if not filled.all():
+            import itertools
+
+            keys = np.argwhere(filled)
+            for key in np.argwhere(~filled):
+                d2 = ((keys - key[None]) ** 2).sum(1)
+                table[tuple(key)] = table[tuple(keys[int(d2.argmin())])]
         return (jnp.asarray(table), jnp.asarray(lo, self.dtype),
                 jnp.asarray(scale, self.dtype), G)
 

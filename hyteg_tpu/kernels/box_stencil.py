@@ -77,7 +77,14 @@ def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int,
     # clamped index is exact.
     def kernel(w_ref, hal_ref, cur_ref, dst_ref):
         i = pl.program_id(0)
-        cur = cur_ref[...]
+        # upcast in VMEM: HBM streams the block dtype (bf16 halves the
+        # bytes); Mosaic's lane rotate only supports 32-bit data
+        cur = cur_ref[...].astype(jnp.float32)
+        odt = dst_ref.dtype
+
+        def st(x):  # mixed precision: accumulate f32, store block dtype
+            return x.astype(odt)
+
         q = 2 * i if hal_resident else 2 * (i % 4)
         hp = hal_ref[pl.ds(q, 1), :]
         hn = hal_ref[pl.ds(q + 1, 1), :]
@@ -116,11 +123,11 @@ def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int,
                     hfm = t2 if hfm is None else hfm + t2
         # dst[r] = acc0[r] + accp[r + 1] + accm[r - 1]: three stores with
         # static sublane-offset reads — no materialized concatenates
-        dst_ref[0:1, :] = acc0[0:1] + accp[1:2] + hfm
-        dst_ref[1 : TX - 1, :] = (acc0[1 : TX - 1] + accp[2:TX]
-                                  + accm[: TX - 2])
-        dst_ref[TX - 1 : TX, :] = (acc0[TX - 1 : TX] + hfp
-                                   + accm[TX - 2 : TX - 1])
+        dst_ref[0:1, :] = st(acc0[0:1] + accp[1:2] + hfm)
+        dst_ref[1 : TX - 1, :] = st(acc0[1 : TX - 1] + accp[2:TX]
+                                    + accm[: TX - 2])
+        dst_ref[TX - 1 : TX, :] = st(acc0[TX - 1 : TX] + hfp
+                                     + accm[TX - 2 : TX - 1])
 
         # boundary rows 0 / X-1: re-evaluated with their own weight
         # vectors on (1, L) slices, only in the first / last tile
@@ -137,7 +144,8 @@ def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int,
         def _():
             # dx = -1 weights are exactly zero at global row 0; the
             # clamped hp is a safe placeholder read
-            dst_ref[0:1, :] = row_fix(n_s, hp, cur[0:1, :], cur[1:2, :])
+            dst_ref[0:1, :] = st(row_fix(n_s, hp, cur[0:1, :],
+                                         cur[1:2, :]))
 
         @pl.when(i == NT - 1)
         def _():
@@ -146,8 +154,8 @@ def _make_kernel(X: int, Y: int, Z: int, n_s: int, TX: int, NT: int,
             # exists, so use the (finite, clamped) hn instead
             dn = cur[rl - 1 : rl, :] if rl >= 1 else hp
             up = cur[rl + 1 : rl + 2, :] if rl + 1 < VR else hn
-            dst_ref[rl : rl + 1, :] = row_fix(
-                2 * n_s, dn, cur[rl : rl + 1, :], up)
+            dst_ref[rl : rl + 1, :] = st(row_fix(
+                2 * n_s, dn, cur[rl : rl + 1, :], up))
 
     return kernel
 
@@ -166,7 +174,9 @@ def box_apply_pallas(u: jnp.ndarray, w_vecs: jnp.ndarray, dims,
     # consecutive tiles (sublane blocks must be multiples of 8)
     hal_resident = NT <= 32
     kernel = _make_kernel(X, Y, Z, n_s, TX, NT, hal_resident)
-    w = w_vecs.reshape(3 * n_s, L).astype(u.dtype)
+    # weights stay f32 even for bf16 blocks (mixed precision: bf16
+    # stream, f32 weights + accumulation, bf16 store)
+    w = w_vecs.reshape(3 * n_s, L).astype(jnp.float32)
 
     # per-tile 1-row halos: hal[2i] = u[i*TX - 1], hal[2i+1] = u[(i+1)*TX]
     # (clamped)
@@ -175,7 +185,9 @@ def box_apply_pallas(u: jnp.ndarray, w_vecs: jnp.ndarray, dims,
     t = np.minimum(np.arange(NB), NT - 1)
     idx[:, 0] = np.clip(t * TX - 1, 0, X - 1)
     idx[:, 1] = np.clip((t + 1) * TX, 0, X - 1)
-    hal = u[jnp.asarray(idx.reshape(-1))]
+    # halo rows stay f32 regardless of block dtype: bf16 sublane
+    # granularity (16) rejects the per-tile single-row dynamic slices
+    hal = u[jnp.asarray(idx.reshape(-1))].astype(jnp.float32)
 
     if hal_resident:
         hal_spec = pl.BlockSpec((2 * NB, L), lambda i: (0, 0),

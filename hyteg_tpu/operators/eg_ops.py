@@ -56,7 +56,12 @@ class EGLaplaceOperator:
 
     def __init__(self, space: EGSpace, sigma: float | None = None):
         st = space.storage
-        assert st.cells_per_shard * st.num_shards >= 1
+        # exact only on a single macro cell: a multi-macro storage would
+        # silently get Nitsche terms at interior macro interfaces and no
+        # cross-macro facet coupling (dg_ops has the gather correction;
+        # this first EG slice does not)
+        assert st.cells_per_shard * st.num_shards == 1, \
+            "EGLaplaceOperator supports single-macro-cell storages only"
         self.space = space
         dim = space.dim
         n = space.p0.n

@@ -86,20 +86,23 @@ class SpmdContext:
         """
         sds = [self.stacked_sd(l) for l in num_levels_args]
 
-        def wrapped(*arrays):
-            def body(*args):
-                xs = args[:n_array_args]
-                sd_stacked = args[n_array_args:]
-                sd_local = [_squeeze_sd(s) for s in sd_stacked]
-                return fn(*xs, *sd_local)
+        def body(*args):
+            xs = args[:n_array_args]
+            sd_stacked = args[n_array_args:]
+            sd_local = [_squeeze_sd(s) for s in sd_stacked]
+            return fn(*xs, *sd_local)
 
-            specs_in = tuple([P(AXIS)] * n_array_args) + tuple(
-                _sd_specs(s) for s in sds
-            )
-            return shard_map(
-                body, mesh=self.mesh, in_specs=specs_in, out_specs=out_spec,
-                check_vma=False,
-            )(*arrays, *sds)
+        specs_in = tuple([P(AXIS)] * n_array_args) + tuple(
+            _sd_specs(s) for s in sds
+        )
+        # one shard_map wrapper for the lifetime of the callable — a fresh
+        # wrapper per call would retrace (and recompile when called
+        # eagerly) on every invocation
+        sm = shard_map(body, mesh=self.mesh, in_specs=specs_in,
+                       out_specs=out_spec, check_vma=False)
+
+        def wrapped(*arrays):
+            return sm(*arrays, *sds)
 
         return wrapped
 

@@ -145,6 +145,14 @@ def make_p1_gmg(
     if smoother == "chebyshev" and eigs is None:
         eigs = {}
         for l in lrange:
+            if (not traced and space_kind == "p1"
+                    and hasattr(ops[l], "stencil")):
+                # analytic symbol bound — no on-device compile per level
+                from .smoothers import p1_stencil_eig_fourier
+
+                eigs[l] = p1_stencil_eig_fourier(ops[l].stencil,
+                                                 spaces[l].dim)
+                continue
             lam = estimate_spectral_radius(
                 applies[l], inv_diags[l], dots[l], spaces[l].block_shape,
                 num_iter=25, dtype=dtype,

@@ -38,6 +38,35 @@ def _norm(a):
     return jnp.sqrt(_dot(a, a))
 
 
+def eig_max_fourier(op: BoxStencilOperator, samples: int = 96) -> float:
+    """Upper bound for lambda_max(D^-1 A) from the interior stencil symbol.
+
+    The interior operator is a constant 15-point stencil; its periodic
+    symbol  lam(theta) = sum_d w_d cos(d . theta) / w_0  majorizes the
+    Dirichlet spectrum (eigenvector interlacing on the rectangular grid).
+    Evaluated on a theta grid in microseconds — replaces the per-level
+    on-device power iteration whose jit compiles dominated hierarchy
+    setup (236 s at level 7 through the remote tunnel, round-5 profile).
+    """
+    import numpy as np
+
+    from . import kuhn
+
+    dirs = np.asarray(kuhn.stencil_dirs())
+    # interior lane weight: any interior lane of the interior row class
+    Y, Z = op.domain.dims[1], op.domain.dims[2]
+    lane = (Y // 2) * Z + Z // 2
+    w = np.asarray(op.w_vecs[0, :, lane], dtype=np.float64)  # (n_s,)
+    center = [i for i, d in enumerate(dirs) if not d.any()]
+    w0 = w[center[0]]
+    th = np.linspace(0.0, np.pi, samples)
+    tg = np.stack(np.meshgrid(th, th, th, indexing="ij"), axis=-1)
+    lam = np.zeros(tg.shape[:-1])
+    for i, d in enumerate(dirs):
+        lam += w[i] * np.cos(tg @ d.astype(np.float64))
+    return float(lam.max() / w0)
+
+
 def estimate_eig_max(op: BoxStencilOperator, iters: int = 50) -> float:
     """Power iteration for lambda_max(D^-1 A) on the interior (concrete).
 
@@ -93,7 +122,7 @@ def build_hierarchy(domain: BoxDomain, form=forms.laplace_form,
     d = domain
     while True:
         op = BoxStencilOperator(d, form)
-        levels.append(BoxLevel(d, op, estimate_eig_max(op)))
+        levels.append(BoxLevel(d, op, eig_max_fourier(op)))
         if d.level <= min_level:
             break
         d = d.coarse()

@@ -67,33 +67,60 @@ class SpmdBoxOperator:
         self.Xp = padded_rows(X, self.D)
         self.XL = self.Xp // self.D
 
-    def _local_apply(self, u_loc, w):
-        """u_loc: (XL, L) local slab; w: (3, n_s, L) weight vectors."""
-        dom = self.domain
-        X = dom.X
-        _, Y, Z = dom.dims
-        D, XL = self.D, self.XL
+    def _sweep(self, ext, w, rows):
+        """Stencil over an extended slab; returns (bulk, fix0, fixl) on
+        the ``rows`` output rows (input must cover rows-1 .. rows+1)."""
+        Z = self.domain.dims[2]
         dirs = kuhn.stencil_dirs()
-        n_s = dirs.shape[0]
-
-        i = jax.lax.axis_index(AXIS)
-        lo = jax.lax.ppermute(u_loc[-1:], AXIS,
-                              [(j, j + 1) for j in range(D - 1)])
-        hi = jax.lax.ppermute(u_loc[:1], AXIS,
-                              [(j + 1, j) for j in range(D - 1)])
-        ext = jnp.concatenate([lo, u_loc, hi], axis=0)  # (XL + 2, L)
-
-        bulk = None
-        fix0 = None
-        fixl = None
-        for s in range(n_s):
-            r = shift_read(ext, dirs[s], Z)[1 : XL + 1]
+        bulk = fix0 = fixl = None
+        for s in range(dirs.shape[0]):
+            r = shift_read(ext, dirs[s], Z)[1:1 + rows]
             t = w[0, s][None, :] * r
             bulk = t if bulk is None else bulk + t
             t0 = w[1, s][None, :] * r
             fix0 = t0 if fix0 is None else fix0 + t0
             tl = w[2, s][None, :] * r
             fixl = tl if fixl is None else fixl + tl
+        return bulk, fix0, fixl
+
+    def _local_apply(self, u_loc, w):
+        """u_loc: (XL, L) local slab; w: (3, n_s, L) weight vectors.
+
+        Compute/communication overlap (reference:
+        BufferedCommunication.hpp:92-100 start/endCommunication): the two
+        halo-row ppermutes are issued FIRST, the interior rows (which
+        need no halo) are computed from the unextended slab, and only the
+        two edge output rows consume the received halos — XLA's
+        latency-hiding scheduler can run the collectives concurrently
+        with the interior sweep because there is no data dependence."""
+        dom = self.domain
+        X = dom.X
+        D, XL = self.D, self.XL
+
+        i = jax.lax.axis_index(AXIS)
+        # issue the collectives first
+        lo = jax.lax.ppermute(u_loc[-1:], AXIS,
+                              [(j, j + 1) for j in range(D - 1)])
+        hi = jax.lax.ppermute(u_loc[:1], AXIS,
+                              [(j + 1, j) for j in range(D - 1)])
+
+        # interior rows 1 .. XL-2: shifts stay inside the local slab
+        zrow = jnp.zeros_like(u_loc[:1])
+        ext_int = jnp.concatenate([zrow, u_loc, zrow], axis=0)
+        bulk_i, fix0_i, fixl_i = self._sweep(ext_int, w, XL)
+
+        # both edge output rows from ONE sweep over the stacked 6-row
+        # strip [lo, u0, u1, u_{XL-2}, u_{XL-1}, hi]: its output rows 1
+        # and 4 are the first/last slab rows with correct halo reads
+        # (rows 2/3 are don't-care)
+        ext_e = jnp.concatenate([lo, u_loc[:2], u_loc[-2:], hi], axis=0)
+        be, fe0, fel = self._sweep(ext_e, w, 4)
+
+        bulk = jnp.concatenate([be[0:1], bulk_i[1:XL - 1], be[3:4]], axis=0)
+        fix0 = jnp.concatenate([fe0[0:1], fix0_i[1:XL - 1], fe0[3:4]],
+                               axis=0)
+        fixl = jnp.concatenate([fel[0:1], fixl_i[1:XL - 1], fel[3:4]],
+                               axis=0)
 
         gids = (jax.lax.broadcasted_iota(jnp.int32, (XL, 1), 0)
                 + i * XL)
@@ -101,15 +128,19 @@ class SpmdBoxOperator:
         out = jnp.where(gids == X - 1, fixl, out)
         return jnp.where(gids < X, out, 0.0)
 
-    def apply_raw(self, up: jnp.ndarray) -> jnp.ndarray:
-        """up: (Xp, L) row-sharded (see shard_field)."""
-        w = self.op.w_vecs
-        fn = shard_map(
+    @functools.cached_property
+    def _apply_fn(self):
+        # built once: a fresh shard_map wrapper per call would retrace
+        # (and, called eagerly, recompile) on every apply
+        return shard_map(
             self._local_apply, mesh=self.mesh,
             in_specs=(P(AXIS, None), P(None, None, None)),
             out_specs=P(AXIS, None),
         )
-        return fn(up, w)
+
+    def apply_raw(self, up: jnp.ndarray) -> jnp.ndarray:
+        """up: (Xp, L) row-sharded (see shard_field)."""
+        return self._apply_fn(up, self.op.w_vecs)
 
     def jacobi_step(self, up, bp, omega=0.8):
         """One damped-Jacobi sweep on the padded sharded block (interior

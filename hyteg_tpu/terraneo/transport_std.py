@@ -71,9 +71,12 @@ class SUPGAdvectionOperator:
     """T -> advection (+ optional SUPG) applied to T, per-element-mean
     velocity read from nodal P1 velocity component fields."""
 
-    def __init__(self, space: P1Space, supg: bool = True, shard: int = 0):
+    def __init__(self, space: P1Space, supg: bool = True, shard: int = 0,
+                 kappa: float = 0.0):
         self.space = space
         self.supg = supg
+        #: diffusivity for the Peclet-limited tau (0 = pure advective tau)
+        self.kappa = float(kappa)
         cv = jnp.asarray(space.cell_vertices(shard))
         self.grads = element_basis_gradients(space, cv)   # (C,T,nv,dim)
         self.vols = element_volumes(space, cv)            # (C,T)
@@ -114,8 +117,16 @@ class SUPGAdvectionOperator:
             gal = (vol / nv) * vT * base_mask
             if self.supg:
                 vmag = jnp.sqrt(sum(v * v for v in vbar))
-                tau = self.h_e[:, t].reshape(-1, 1, 1) / jnp.maximum(
-                    2.0 * vmag, 1e-12)
+                h = self.h_e[:, t].reshape(-1, 1, 1)
+                tau = h / jnp.maximum(2.0 * vmag, 1e-12)
+                if self.kappa > 0.0:
+                    # Peclet limit (doubly-asymptotic xi ~ min(1, Pe/3)):
+                    # diffusion-dominated elements get tau -> h^2/(12 k)
+                    # instead of spurious O(h) streamline diffusion
+                    # (reference: the SUPG delta of the generated
+                    # supg_* operator family)
+                    pe = vmag * h / (2.0 * self.kappa)
+                    tau = tau * jnp.minimum(1.0, pe / 3.0)
                 su = tau * vol * vT * base_mask
             for a in range(nv):
                 contrib = gal
@@ -202,7 +213,7 @@ class TransportOperatorStd:
         self.A = P1ElementwiseOperator(space, forms.laplace_form)
         self.M = P1ElementwiseOperator(space, forms.mass_form)
         self.adv = SUPGAdvectionOperator(
-            space, supg=self.terms["SUPG_STABILISATION"])
+            space, supg=self.terms["SUPG_STABILISATION"], kappa=kappa)
         self.cg_iters = cg_iters
         self.cg_rtol = cg_rtol
         self._sd = space.resolve_sd(self.bc)

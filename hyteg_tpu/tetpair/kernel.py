@@ -56,7 +56,7 @@ def _masks(N, P, yz_ref):
 
 
 def _install(u0, N, P, s, ly, lz, in_a, in_b, sh_a, sh_b,
-             xf, yf, zf, df, ohza_ref, ohzb_ref):
+             xf, yf, zf, df, ohza_ref, ohzb_ref, skip=()):
     """Overwrite boundary positions of the block from compact face data.
 
     xf: (2, L) x-face planes (A row 0, B row n) flattened (y, z);
@@ -65,12 +65,14 @@ def _install(u0, N, P, s, ly, lz, in_a, in_b, sh_a, sh_b,
     df: (2, L) diagonal planes flattened (y, z)."""
     n = N - 1
     L = N * P
-    u0 = jnp.where(sh_a, df[0:1, :], u0)
-    u0 = jnp.where(sh_b, df[1:2, :], u0)
-    zea = jnp.dot(zf[0], ohza_ref[...], preferred_element_type=F32)
-    u0 = jnp.where((lz == 0) & in_a, zea, u0)
-    zeb = jnp.dot(zf[1], ohzb_ref[...], preferred_element_type=F32)
-    u0 = jnp.where((lz == n) & in_b, zeb, u0)
+    if "diag" not in skip:
+        u0 = jnp.where(sh_a, df[0:1, :], u0)
+        u0 = jnp.where(sh_b, df[1:2, :], u0)
+    if "z" not in skip:
+        zea = jnp.dot(zf[0], ohza_ref[...], preferred_element_type=F32)
+        u0 = jnp.where((lz == 0) & in_a, zea, u0)
+        zeb = jnp.dot(zf[1], ohzb_ref[...], preferred_element_type=F32)
+        u0 = jnp.where((lz == n) & in_b, zeb, u0)
     ypa = jax.lax.pad(yf[0], jnp.asarray(0.0, u0.dtype),
                       [(0, 0, 0), (0, L - P, 0)])
     u0 = jnp.where((ly == 0) & in_a, ypa, u0)
@@ -83,22 +85,28 @@ def _install(u0, N, P, s, ly, lz, in_a, in_b, sh_a, sh_b,
 
 
 def _extract(dstv, N, P, s, ly, lz, in_a, in_b, sh_a, sh_b,
-             ohza_ref, ohzb_ref):
+             ohza_ref, ohzb_ref, skip=()):
     """Compact face layouts of the block's boundary values."""
     n = N - 1
     dt = dstv.dtype
     xfa = jnp.where(s[0:1] <= n, dstv[0:1], 0.0)
     xfb = jnp.where(s[N - 1:N] >= 2 * n, dstv[N - 1:N], 0.0)
-    dfa = jnp.sum(jnp.where(sh_a, dstv, 0.0), axis=0, keepdims=True)
-    dfb = jnp.sum(jnp.where(sh_b, dstv, 0.0), axis=0, keepdims=True)
-    za = jnp.where((lz == 0) & in_a, dstv, 0.0)
-    zfa = jax.lax.dot_general(za, ohza_ref[...],
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=F32).astype(dt)
-    zb = jnp.where((lz == n) & in_b, dstv, 0.0)
-    zfb = jax.lax.dot_general(zb, ohzb_ref[...],
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              preferred_element_type=F32).astype(dt)
+    if "diag" in skip:
+        dfa = dfb = jnp.zeros((1, N * P), dt)
+    else:
+        dfa = jnp.sum(jnp.where(sh_a, dstv, 0.0), axis=0, keepdims=True)
+        dfb = jnp.sum(jnp.where(sh_b, dstv, 0.0), axis=0, keepdims=True)
+    if "z" in skip:
+        zfa = zfb = jnp.zeros((N, N), dt)
+    else:
+        za = jnp.where((lz == 0) & in_a, dstv, 0.0)
+        zfa = jax.lax.dot_general(za, ohza_ref[...],
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=F32).astype(dt)
+        zb = jnp.where((lz == n) & in_b, dstv, 0.0)
+        zfb = jax.lax.dot_general(zb, ohzb_ref[...],
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=F32).astype(dt)
     yfa = jnp.where(in_a[:, 0:P], dstv[:, 0:P], 0.0)
     yfb = jnp.where(in_b[:, n * P:n * P + P], dstv[:, n * P:n * P + P], 0.0)
     return xfa, xfb, yfa, yfb, zfa, zfb, dfa, dfb
@@ -125,7 +133,7 @@ def _make_kernel(N: int, P: int, skip: tuple = ()):
         else:
             u1 = _install(u_ref[0], N, P, s, ly, lz, in_a, in_b, sh_a,
                           sh_b, xf_ref[0], yf_ref[0], zf_ref[0], df_ref[0],
-                          ohza_ref, ohzb_ref)
+                          ohza_ref, ohzb_ref, skip)
 
         vecs = jnp.dot(w_ref[0], m_ref[...], preferred_element_type=F32)
 
@@ -207,7 +215,7 @@ def _make_kernel(N: int, P: int, skip: tuple = ()):
         else:
             xfa, xfb, yfa, yfb, zfa, zfb, dfa, dfb = _extract(
                 dstv, N, P, s, ly, lz, in_a, in_b, sh_a, sh_b,
-                ohza_ref, ohzb_ref)
+                ohza_ref, ohzb_ref, skip)
         xfo_ref[0, 0:1, :] = xfa
         xfo_ref[0, 1:2, :] = xfb
         yfo_ref[0, 0] = yfa

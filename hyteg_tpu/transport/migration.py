@@ -84,8 +84,11 @@ def migrate(ps: ParticleSet, owner_shard: jnp.ndarray, axis_name: str,
     free_idx = jnp.full((P + 1,), P, dtype=jnp.int32)
     free_idx = free_idx.at[jnp.where(~stay, free_rank, P)].set(
         jnp.arange(P), mode="drop")
+    # ranks beyond P land on the sentinel slot P (counted as lost below);
+    # clamping to P-1 would silently overwrite the last free slot when
+    # more particles arrive than the local set has capacity for
     tgt = jnp.where(recv.active,
-                    free_idx[jnp.minimum(arr_rank, P - 1)], P)  # (D*M,)
+                    free_idx[jnp.minimum(arr_rank, P)], P)  # (D*M,)
     lost = jnp.sum(recv.active & (tgt >= P))
 
     def place(local_col, recv_col):

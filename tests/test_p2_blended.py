@@ -100,6 +100,7 @@ def test_blended_epsilon_symmetric_on_shell():
     assert quad > 0.0
 
 
+@pytest.mark.slow  # ~110 s XLA:CPU compile of the blended Stokes cycle
 def test_blended_shell_stokes_uzawa_converges():
     """Blended epsilon-Stokes GMG (Uzawa) V-cycles reduce the residual on
     the icosahedral shell — the TerraNeo-on-shell configuration

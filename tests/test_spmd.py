@@ -13,6 +13,7 @@ from hyteg_tpu.primitives.storage import CellStorage
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # the driver exercises dryrun_multichip every round
 def test_dryrun_multichip_contract():
     import __graft_entry__
 
