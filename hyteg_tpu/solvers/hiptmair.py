@@ -27,21 +27,85 @@ from ..functions.n1e1 import N1E1Space
 from ..operators.n1e1_ops import N1E1ElementwiseOperator
 
 
+def _varying_seed(shape) -> jnp.ndarray:
+    """Deterministic oscillating field for power iterations (no RNG
+    inside setup jits; must not be orthogonal to the dominant mode)."""
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return jnp.sin(0.7 * c.astype(jnp.float32)
+                   + 1.3 * r.astype(jnp.float32)
+                   + 2.1 * l.astype(jnp.float32)) + 0.01
+
+
 class HiptmairSmoother:
     """Multiplicative two-space smoother bound to an N1E1 operator."""
 
     def __init__(self, op: N1E1ElementwiseOperator, sd=None,
-                 omega_edge: float = 2.0 / 3.0,
-                 omega_vertex: float = 2.0 / 3.0,
-                 flag: DoFType = FLAG_INNER):
+                 omega_edge: float | None = None,
+                 omega_vertex: float | None = None,
+                 flag: DoFType = FLAG_INNER, power_iters: int = 15):
         self.op = op
         self.space: N1E1Space = op.space
         self.sd = self.space.resolve_sd(sd)
-        self.omega_e = omega_edge
-        self.omega_v = omega_vertex
         self.flag = flag
         self.inv_diag_e = op.inverse_diagonal(self.sd)
         self.inv_diag_v = op.potential_inverse_diagonal(self.sd)
+        # fixed omega = 2/3 diverges once lambda_max(D^-1 A) > 3 (observed
+        # at level >= 2 for curl-curl); damp each half against its own
+        # power-iterated spectral bound: omega = 4 / (3 lambda_max)
+        if omega_edge is None:
+            lam_e = self._power_edge(power_iters)
+            omega_edge = 4.0 / (3.0 * max(lam_e, 1e-6))
+        if omega_vertex is None:
+            lam_v = self._power_vertex(power_iters)
+            omega_vertex = 4.0 / (3.0 * max(lam_v, 1e-6))
+        self.omega_e = omega_edge
+        self.omega_v = omega_vertex
+
+    def _power_edge(self, iters: int) -> float:
+        sp, op, sd = self.space, self.op, self.sd
+
+        @jax.jit
+        def run():
+            x = _varying_seed(sp.block_shape) * jnp.asarray(
+                sp.edge_mask[None], dtype=jnp.float32)
+
+            def body(_, x):
+                y = self._masked(self.inv_diag_e * op.apply_raw(x, sd))
+                return y / jnp.maximum(jnp.sqrt(sp.dot(y, y)), 1e-30)
+
+            x = jax.lax.fori_loop(0, iters, body, x)
+            y = self._masked(self.inv_diag_e * op.apply_raw(x, sd))
+            return sp.dot(x, y) / jnp.maximum(sp.dot(x, x), 1e-30)
+
+        return float(run())
+
+    def _power_vertex(self, iters: int) -> float:
+        sp, op, sd = self.space, self.op, self.sd
+
+        def AtGA(q):
+            r = op.apply_raw(sp.gradient_apply(q), sd)
+            return self._masked(
+                self.inv_diag_v
+                * sp.exchange_add(sp.gradient_transpose_apply(r, sd), sd))
+
+        @jax.jit
+        def run():
+            # varying seed: the constant potential is in the null space of
+            # G^T A G — a flat seed collapses the iteration to zero
+            x = _varying_seed(sp.block_shape) * jnp.asarray(
+                sp.vertexnode_mask[None], dtype=jnp.float32)
+
+            def body(_, x):
+                y = AtGA(x)
+                return y / jnp.maximum(jnp.sqrt(sp.dot(y, y)), 1e-30)
+
+            x = jax.lax.fori_loop(0, iters, body, x)
+            y = AtGA(x)
+            return sp.dot(x, y) / jnp.maximum(sp.dot(x, x), 1e-30)
+
+        return float(run())
 
     def _masked(self, upd):
         z = jnp.zeros_like(upd)

@@ -1,6 +1,7 @@
 """Box fast path under SPMD row-slab sharding (8 virtual CPU devices)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,7 @@ def test_sharded_apply_matches_single_device():
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # ~100 s of 8-device XLA:CPU shard_map compiles
 def test_sharded_jacobi_matches_single_device():
     dom = BoxDomain((1, 1, 1), level=3)
     op = BoxStencilOperator(dom)
