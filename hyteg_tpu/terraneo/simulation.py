@@ -33,6 +33,22 @@ from .profiles import RadialProfile, radial_profile, \
     viscosity_profile_arrhenius
 
 
+def make_convection_simulation(params: "ConvectionParameters | None" = None,
+                               num_shards: int = 1, **kwargs):
+    """Factory for the convection driver at any shard count
+    (reference: apps/TerraNeo/Origin/Convection.cpp — one code path from
+    laptop to pod). num_shards == 1 returns the single-device
+    ConvectionSimulation (MMOC transport, MINRES Stokes); num_shards > 1
+    returns the SPMD ShardedConvectionSimulation (sharded Uzawa-GMG
+    Stokes + sharded SUPG energy over a device mesh)."""
+    if num_shards == 1:
+        return ConvectionSimulation(params)
+    from .spmd_sim import ShardedConvectionSimulation
+
+    return ShardedConvectionSimulation(params, num_shards=num_shards,
+                                       **kwargs)
+
+
 class ConvectionSimulation:
     """Couples the Stokes momentum balance and the energy equation:
 

@@ -72,12 +72,13 @@ class SUPGAdvectionOperator:
     velocity read from nodal P1 velocity component fields."""
 
     def __init__(self, space: P1Space, supg: bool = True, shard: int = 0,
-                 kappa: float = 0.0):
+                 kappa: float = 0.0, cell_vertices=None):
         self.space = space
         self.supg = supg
         #: diffusivity for the Peclet-limited tau (0 = pure advective tau)
         self.kappa = float(kappa)
-        cv = jnp.asarray(space.cell_vertices(shard))
+        cv = (jnp.asarray(space.cell_vertices(shard))
+              if cell_vertices is None else cell_vertices)
         self.grads = element_basis_gradients(space, cv)   # (C,T,nv,dim)
         self.vols = element_volumes(space, cv)            # (C,T)
         # characteristic element size for tau: h = vol^(1/dim)
