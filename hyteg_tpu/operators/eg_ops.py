@@ -52,9 +52,21 @@ def _read_p1(grid, off, n, dim):
 
 
 class EGLaplaceOperator:
-    """A(u, v) for the EG vector Laplace (single-macro first slice)."""
+    """A(u, v) for the EG vector viscous block (single-macro slice).
 
-    def __init__(self, space: EGSpace, sigma: float | None = None):
+    ``form="laplace"``: a(u, v) = int grad u : grad v  (+ SIP/Nitsche
+    terms for the enrichment), the reference's EGSIPGLaplaceForm.
+    ``form="epsilon"``: a(u, v) = int 2 eps(u) : eps(v) with the matching
+    facet terms ({2 eps(u) n} fluxes), the reference's
+    EGEpsilonFormNitscheBC (src/hyteg/egfunctionspace/
+    EGNitscheBCEpsilonForms.hpp) — the viscous block of the EG-P0
+    Stokes discretization (operators/eg_stokes.py).
+    """
+
+    def __init__(self, space: EGSpace, sigma: float | None = None,
+                 form: str = "laplace"):
+        assert form in ("laplace", "epsilon"), form
+        self.form = form
         st = space.storage
         # exact only on a single macro cell: a multi-macro storage would
         # silently get Nitsche terms at interior macro interfaces and no
@@ -65,7 +77,8 @@ class EGLaplaceOperator:
         self.space = space
         dim = space.dim
         n = space.p0.n
-        self.sigma = float(sigma if sigma is not None else 6.0 * dim)
+        self.sigma = float(sigma if sigma is not None
+                           else (6.0 if form == "laplace" else 12.0) * dim)
         nbr_class, nbr_shift, facet_verts = facet_tables(dim)
         self._nbr = (nbr_class, nbr_shift)
         T, F, nv = space.p0.T, dim + 1, dim + 1
@@ -91,6 +104,8 @@ class EGLaplaceOperator:
         gn_n = np.zeros((C, T, F, nv))       # g_a^self . n
         gnn = np.zeros((C, T, F, nv))        # g_a^nbr . n
         pen = np.zeros((C, T, F))
+        nrm_t = np.zeros((C, T, F, dim))     # unit outward normal (self)
+        gB = np.zeros((C, T, F, nv, dim))    # neighbor basis gradients
         for t in range(T):
             ms = ev[:, t].mean(axis=1)  # self centroid (C, dim)
             for f in range(F):
@@ -121,6 +136,8 @@ class EGLaplaceOperator:
                 vb_n[:, t, f] = np.einsum("cq,cqd->cd", wts, psi_n)
                 gn_n[:, t, f] = np.einsum("cad,cd->ca", g[:, t], nrm)
                 gnn[:, t, f] = np.einsum("cad,cd->ca", g2, nrm)
+                nrm_t[:, t, f] = nrm
+                gB[:, t, f] = g2
                 h = dim * np.minimum(vol[:, t], vol2) / np.maximum(
                     area, 1e-300)
                 pen[:, t, f] = self.sigma / h
@@ -132,6 +149,8 @@ class EGLaplaceOperator:
         self.gn = asj(gn_n, dtype=dt)
         self.gnn = asj(gnn, dtype=dt)
         self.pen = asj(pen, dtype=dt)
+        self.nrm = asj(nrm_t, dtype=dt)
+        self.gB = asj(gB, dtype=dt)
 
     # -- apply ---------------------------------------------------------------
 
@@ -159,6 +178,11 @@ class EGLaplaceOperator:
         out_g = [jnp.zeros_like(grids[d]) for d in range(dim)]
         out_e = jnp.zeros_like(u.enr)
         sh = (slice(None),) + (None,) * dim  # broadcast (C,) over bases
+        # fac doubles the enrichment coupling terms for the epsilon form
+        # (2 eps(psi) = 2 I vs grad psi = I); eps switches on the
+        # transposed-gradient pieces of the {2 eps(u) n} facet fluxes
+        eps = 1.0 if self.form == "epsilon" else 0.0
+        fac = 1.0 + eps
 
         for t in range(T):
             base_mask = jnp.asarray(
@@ -168,9 +192,13 @@ class EGLaplaceOperator:
                    for d in range(dim)] for a in range(nv)]
             ue = u.enr[:, t]
 
-            # volume: CG laplace (componentwise) + div coupling + dim*vol*c
+            # volume: CG viscous block + div coupling + fac*dim*vol*c
             vol = self.vol[:, t][sh]
             g = self.g[:, t]  # (C, nv, dim)
+            # epsilon extra: pd[e][d] = d_d u_e (constant per element)
+            if eps:
+                pd = [[sum(g[:, b2, d][sh] * rc[b2][e] for b2 in range(nv))
+                       for d in range(dim)] for e in range(dim)]
             for a in range(nv):
                 acc_d = []
                 for d in range(dim):
@@ -179,17 +207,22 @@ class EGLaplaceOperator:
                         gg = jnp.einsum("ck,ck->c", g[:, a], g[:, b2])[sh]
                         term = vol * gg * rc[b2][d]
                         acc = term if acc is None else acc + term
-                    # div coupling: + vol * g[a, d] * c
-                    acc = acc + vol * g[:, a, d][sh] * ue
+                    if eps:
+                        # + int grad u : grad v^T  (row (a,d) gets
+                        #   vol * sum_e g[a,e] * d_d u_e)
+                        acc = acc + vol * sum(
+                            g[:, a, e][sh] * pd[e][d] for e in range(dim))
+                    # div coupling: + fac * vol * g[a, d] * c
+                    acc = acc + fac * vol * g[:, a, d][sh] * ue
                     acc_d.append(acc)
                 for d in range(dim):
                     out_g[d] = _scatter_p1(out_g[d], acc_d[d] * base_mask,
                                            offs[t, a], n, dim)
-            # e-row volume: dim * vol * c + sum_a,d vol * g[a,d] * u_c
-            acc_e = dim * vol * ue
+            # e-row volume: fac*dim*vol*c + fac*sum_a,d vol*g[a,d]*u_c
+            acc_e = fac * dim * vol * ue
             for a in range(nv):
                 for d in range(dim):
-                    acc_e = acc_e + vol * g[:, a, d][sh] * rc[a][d]
+                    acc_e = acc_e + fac * vol * g[:, a, d][sh] * rc[a][d]
 
             # facets
             for f in range(F):
@@ -213,30 +246,48 @@ class EGLaplaceOperator:
                 gn = self.gn[:, t, f]     # (C, nv)
                 gnn = self.gnn[:, t, f]
 
-                # e-e interior SIP + boundary Nitsche
-                ee_int = ((-a_s + pen * Pss) * ue
-                          + (-0.5 * a_s + 0.5 * a_n - pen * Psn) * ue_n)
-                ee_bnd = (-2.0 * a_s + pen * Pss) * ue
+                # e-e interior SIP + boundary Nitsche (epsilon doubles
+                # the consistency/symmetry fluxes, not the penalty)
+                ee_int = ((-fac * a_s + pen * Pss) * ue
+                          + (fac * (-0.5 * a_s + 0.5 * a_n)
+                             - pen * Psn) * ue_n)
+                ee_bnd = (-2.0 * fac * a_s + pen * Pss) * ue
                 acc_e = acc_e + mi * ee_int + mb * ee_bnd
 
-                # e <- CG: -{grad u_c . n} . int psi_s
+                # e <- CG: -{flux(u_c)} . int psi_s, flux = grad u . n
+                # (laplace) or 2 eps(u) n (epsilon: adds (g_a.vb) n_d)
+                if eps:
+                    gvs = jnp.einsum("cak,ck->ca", self.g[:, t], vbs)
+                    gvn_s = jnp.einsum("cak,ck->ca",
+                                       self.gB[:, t, f], vbs)
+                    gvb2 = jnp.einsum("cak,ck->ca", self.g[:, t], vbn)
+                    nn = self.nrm[:, t, f]  # (C, dim)
                 ce = None
                 for a in range(nv):
                     for d in range(dim):
-                        w_i = -0.5 * (gn[:, a] * vbs[:, d])[sh]
-                        w_in = -0.5 * (gnn[:, a] * vbs[:, d])[sh]
-                        w_b = -(gn[:, a] * vbs[:, d])[sh]
+                        ws = gn[:, a] * vbs[:, d]
+                        wn = gnn[:, a] * vbs[:, d]
+                        if eps:
+                            ws = ws + gvs[:, a] * nn[:, d]
+                            wn = wn + gvn_s[:, a] * nn[:, d]
+                        w_i, w_in = -0.5 * ws[sh], -0.5 * wn[sh]
+                        w_b = -ws[sh]
                         term = (mi * (w_i * rc[a][d] + w_in * rcn[a][d])
                                 + mb * w_b * rc[a][d])
                         ce = term if ce is None else ce + term
                 acc_e = acc_e + ce
 
-                # CG <- e (symmetric): -{grad v_c . n} . [u_e]
+                # CG <- e (symmetric): -{flux(v_c)} . [u_e]
                 for a in range(nv):
                     for d in range(dim):
-                        w_s = -0.5 * (gn[:, a] * vbs[:, d])[sh]
-                        w_nn = 0.5 * (gn[:, a] * vbn[:, d])[sh]
-                        w_b = -(gn[:, a] * vbs[:, d])[sh]
+                        ws = gn[:, a] * vbs[:, d]
+                        wn2 = gn[:, a] * vbn[:, d]
+                        if eps:
+                            ws = ws + gvs[:, a] * nn[:, d]
+                            wn2 = wn2 + gvb2[:, a] * nn[:, d]
+                        w_s = -0.5 * ws[sh]
+                        w_nn = 0.5 * wn2[sh]
+                        w_b = -ws[sh]
                         contrib = (mi * (w_s * ue + w_nn * ue_n)
                                    + mb * w_b * ue)
                         out_g[d] = _scatter_p1(
