@@ -58,6 +58,16 @@ class P1ShardData:
     nbr_recv: jnp.ndarray | None = None      # (R, M) int32 recv lids
     nbr_num_local: int = 0                   # static: L_max (dump = L_max)
     nbr_perms: tuple = ()                    # static: R ppermute pair lists
+    # interior/interface overlap tables (reference analog: the
+    # startCommunication/endCommunication split of
+    # src/hyteg/communication/BufferedCommunication.hpp:92-100):
+    ovl_cells: jnp.ndarray | None = None     # (C_loc,) cell permutation,
+    #                                          interface-incident first
+    ovl_slot_flat: jnp.ndarray | None = None  # (S,) flat idx into the
+    #                                           permuted first-K subblock
+    ovl_slot_lid: jnp.ndarray | None = None  # (S,) lid for cross-device
+    #                                          gids, else L_max
+    ovl_k: int = 0                           # static: interface cell count
 
     def tree_flatten(self):
         children = [
@@ -67,18 +77,29 @@ class P1ShardData:
         has_nbr = self.nbr_pack is not None
         if has_nbr:
             children += [self.nbr_slot_lid, self.nbr_pack, self.nbr_recv]
+        has_ovl = self.ovl_cells is not None
+        if has_ovl:
+            children += [self.ovl_cells, self.ovl_slot_flat,
+                         self.ovl_slot_lid]
         return tuple(children), (self.bc, has_nbr, self.nbr_num_local,
-                                 self.nbr_perms)
+                                 self.nbr_perms, has_ovl, self.ovl_k)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bc, has_nbr, n_local, perms = aux
+        bc, has_nbr, n_local, perms, has_ovl, ovl_k = (
+            aux if len(aux) == 6 else aux + (False, 0))
         base = children[:7]
+        kw = {}
+        i = 7
         if has_nbr:
-            return cls(*base, bc=bc, nbr_slot_lid=children[7],
-                       nbr_pack=children[8], nbr_recv=children[9],
-                       nbr_num_local=n_local, nbr_perms=perms)
-        return cls(*base, bc=bc)
+            kw.update(nbr_slot_lid=children[i], nbr_pack=children[i + 1],
+                      nbr_recv=children[i + 2], nbr_num_local=n_local,
+                      nbr_perms=perms)
+            i += 3
+        if has_ovl:
+            kw.update(ovl_cells=children[i], ovl_slot_flat=children[i + 1],
+                      ovl_slot_lid=children[i + 2], ovl_k=ovl_k)
+        return cls(*base, bc=bc, **kw)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -385,6 +406,62 @@ class P1Space:
                 pack.astype(np.int32), recv.astype(np.int32),
                 tuple(tuple(sorted(p)) for p in perms))
 
+    @functools.cached_property
+    def _ovl_tables(self):
+        """Interface/interior cell split for comm/compute overlap.
+
+        Per device: a permutation of local cells putting every cell
+        incident to a cross-device interface node first, plus slot
+        tables restricted to those cells so the neighbor exchange can
+        start from the phase-A (interface) partial apply alone.  All
+        local contributions to a cross-device node come from interface
+        cells by construction, so the packed buffers are complete
+        before the interior sweep runs (reference:
+        BufferedCommunication.hpp:92-100 start/end split)."""
+        from collections import defaultdict
+
+        m = self.maps
+        D, S = m.slot_gid.shape
+        slot_lid, L_max, _, _, _ = self._nbr_tables
+        C_loc = self.C_loc
+        cell_sz = self.block_size // C_loc
+
+        # cross-device gids: shared by >= 2 devices
+        sharers = defaultdict(set)
+        for d in range(D):
+            gids = np.asarray(m.slot_gid[d])
+            for g in np.unique(gids[gids < m.num_ifc]):
+                sharers[int(g)].add(d)
+        cross = {g for g, devs in sharers.items() if len(devs) >= 2}
+
+        flat = np.asarray(m.slot_flat)
+        gid = np.asarray(m.slot_gid)
+        is_cross = np.isin(gid, np.fromiter(cross, dtype=np.int64)
+                           if cross else np.empty(0, np.int64))
+        valid = gid < m.num_ifc
+        ovl_cells = np.zeros((D, C_loc), dtype=np.int32)
+        inv = np.zeros((D, C_loc), dtype=np.int64)
+        kd = np.zeros(D, dtype=np.int64)
+        for d in range(D):
+            cs = np.unique(flat[d][is_cross[d] & valid[d]] // cell_sz)
+            rest = np.setdiff1d(np.arange(C_loc), cs)
+            order = np.concatenate([cs, rest]).astype(np.int32)
+            ovl_cells[d] = order
+            inv[d, order] = np.arange(C_loc)
+            kd[d] = len(cs)
+        K = int(max(kd.max(), 1))
+
+        ovl_flat = np.full((D, S), K * cell_sz, dtype=np.int64)
+        ovl_lid = np.full((D, S), L_max, dtype=np.int64)
+        for d in range(D):
+            sel = is_cross[d] & valid[d]
+            c = flat[d][sel] // cell_sz
+            o = flat[d][sel] % cell_sz
+            ovl_flat[d, sel] = inv[d, c] * cell_sz + o
+            ovl_lid[d, sel] = slot_lid[d][sel]
+        return (ovl_cells, ovl_flat.astype(np.int32),
+                ovl_lid.astype(np.int32), K)
+
     def stacked_shard_data(self, bc: BoundaryCondition,
                            neighbor: bool = True):
         """All-shard (D, ...) numpy pytree for feeding shard_map.
@@ -396,8 +473,11 @@ class P1Space:
         nbr = {}
         if neighbor and self.storage.num_shards > 1:
             slot_lid, L_max, pack, recv, perms = self._nbr_tables
+            ovl_cells, ovl_flat, ovl_lid, K = self._ovl_tables
             nbr = dict(nbr_slot_lid=slot_lid, nbr_pack=pack, nbr_recv=recv,
-                       nbr_num_local=L_max, nbr_perms=perms)
+                       nbr_num_local=L_max, nbr_perms=perms,
+                       ovl_cells=ovl_cells, ovl_slot_flat=ovl_flat,
+                       ovl_slot_lid=ovl_lid, ovl_k=K)
         return P1ShardData(
             slot_flat=np.asarray(m.slot_flat),
             slot_gid=np.asarray(m.slot_gid),
@@ -434,6 +514,41 @@ class P1Space:
             buf = lsum0[sd.nbr_pack[r]]
             rv = jax.lax.ppermute(buf, axis_name, perm)
             acc = acc.at[sd.nbr_recv[r]].add(rv)
+        flat = flat.at[sd.slot_flat].set(acc[sd.nbr_slot_lid], mode="drop")
+        return flat.reshape(u.shape)
+
+    def _exchange_nbr_start(self, y_ifc, sd: P1ShardData,
+                            axis_name) -> jnp.ndarray:
+        """Start the additive exchange from the phase-A (interface-cell)
+        partial apply: pack complete cross-device local sums and run the
+        ppermute rounds.  Returns the received accumulator (L+1,); the
+        interior sweep is data-independent of it, so XLA's scheduler can
+        overlap the collectives with the interior compute."""
+        flat = y_ifc.reshape(-1)
+        L = sd.nbr_num_local
+        vals = flat[jnp.minimum(sd.ovl_slot_flat, flat.shape[0] - 1)]
+        lsum = jax.ops.segment_sum(vals, sd.ovl_slot_lid,
+                                   num_segments=L + 1)
+        lsum = lsum.at[L].set(0.0)
+        acc_recv = jnp.zeros_like(lsum)
+        for r, perm in enumerate(sd.nbr_perms):
+            if not perm:
+                continue
+            buf = lsum[sd.nbr_pack[r]]
+            rv = jax.lax.ppermute(buf, axis_name, perm)
+            acc_recv = acc_recv.at[sd.nbr_recv[r]].add(rv)
+        return acc_recv
+
+    def _exchange_nbr_finish(self, u, acc_recv, sd: P1ShardData) -> jnp.ndarray:
+        """Finish: full local sums + the received cross-device partials,
+        scattered back to every replica slot."""
+        flat = u.reshape(-1)
+        L = sd.nbr_num_local
+        vals = flat[jnp.minimum(sd.slot_flat, flat.shape[0] - 1)]
+        lsum = jax.ops.segment_sum(vals, sd.nbr_slot_lid,
+                                   num_segments=L + 1)
+        acc = lsum + acc_recv
+        acc = acc.at[L].set(0.0)
         flat = flat.at[sd.slot_flat].set(acc[sd.nbr_slot_lid], mode="drop")
         return flat.reshape(u.shape)
 

@@ -238,9 +238,18 @@ class P1ElementwiseOperator:
 
     # -- raw array API (used by solvers inside jit) --------------------------
 
-    def _apply_local(self, x, coeff):
-        """Per-cell partial apply (no exchange)."""
+    def _apply_local(self, x, coeff, cells=None):
+        """Per-cell partial apply (no exchange).  ``cells`` restricts to
+        a (traced) subset of local cells: ``x`` must already be gathered
+        to those rows; the per-cell tables are gathered here."""
         sp = self.space
+        if cells is not None:
+            sub = object.__new__(P1ElementwiseOperator)
+            sub.__dict__.update(self.__dict__)
+            sub.stencil = jnp.take(self.stencil, cells, axis=0)
+            sub.stencil_face = jnp.take(self.stencil_face, cells, axis=0)
+            sub.elmats = jnp.take(self.elmats, cells, axis=0)
+            return sub._apply_local(x, coeff)
         if coeff is None and P1ElementwiseOperator.use_const_stencil:
             from ..kernels.p1_const_stencil import (
                 p1_const_apply_pallas, p1_const_apply_xla)
@@ -261,11 +270,40 @@ class P1ElementwiseOperator:
                               coeff, self.coeff_avg)
 
     def apply_raw(self, x, coeff=None, sd=None, axis_name=None) -> jnp.ndarray:
-        """Full A x on every row (interface rows exchanged additively)."""
+        """Full A x on every row (interface rows exchanged additively).
+
+        On the SPMD path with overlap tables the apply is split: the
+        interface-incident cells are computed first and their exchange
+        started, the interior cells are computed while the ppermutes are
+        in flight, then the received partials are folded in (reference:
+        BufferedCommunication start/endCommunication)."""
         sp = self.space
         sd = sp.resolve_sd(sd, self.shard)
+        if (axis_name is not None and sd.nbr_pack is not None
+                and sd.ovl_cells is not None and 0 < sd.ovl_k):
+            return self._apply_overlapped(x, coeff, sd, axis_name)
         y = self._apply_local(x, coeff)
         return sp.exchange_add(y, sd, axis_name)
+
+    def _apply_overlapped(self, x, coeff, sd, axis_name) -> jnp.ndarray:
+        sp = self.space
+        K = sd.ovl_k
+        perm = sd.ovl_cells
+
+        def gather(a, idx):
+            return None if a is None else jnp.take(a, idx, axis=0)
+
+        xi = jnp.take(x, perm[:K], axis=0)
+        y_ifc = self._apply_local(xi, gather(coeff, perm[:K]),
+                                  cells=perm[:K])
+        acc_recv = sp._exchange_nbr_start(y_ifc, sd, axis_name)
+        y = jnp.zeros_like(x).at[perm[:K]].set(y_ifc)
+        if K < x.shape[0]:
+            xj = jnp.take(x, perm[K:], axis=0)
+            y_int = self._apply_local(xj, gather(coeff, perm[K:]),
+                                      cells=perm[K:])
+            y = y.at[perm[K:]].set(y_int)
+        return sp._exchange_nbr_finish(y, acc_recv, sd)
 
     def gemv(self, x, y, alpha=1.0, beta=1.0, coeff=None, sd=None,
              axis_name=None) -> jnp.ndarray:
@@ -274,10 +312,7 @@ class P1ElementwiseOperator:
 
         The axpy epilogue fuses with the exchange scatter under jit, saving
         a separate full-array pass per smoother step / residual."""
-        sp = self.space
-        sd = sp.resolve_sd(sd, self.shard)
-        z = self._apply_local(x, coeff)
-        z = sp.exchange_add(z, sd, axis_name)
+        z = self.apply_raw(x, coeff, sd, axis_name)
         return alpha * z + beta * y
 
     def residual(self, x, b, coeff=None, sd=None, axis_name=None):
