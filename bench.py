@@ -311,12 +311,37 @@ def bench_shell(level: int = 3, gate_level: int = 2):
     return out
 
 
-def main():
-    print(json.dumps(bench_box()), flush=True)
-    for fn in (bench_box_bf16, bench_tet, bench_box_vcycle,
-               bench_tet_vcycle, bench_shell):
+_TRANSIENT = ("remote_compile", "response body", "UNAVAILABLE",
+              "DEADLINE_EXCEEDED", "Connection reset", "http")
+
+
+def _run_line(fn, retries: int = 2):
+    """Run one bench line; transient tunnel/compile-helper errors (the
+    remote XLA compile rides an HTTP proxy that occasionally drops a
+    response mid-body) are retried, real gate failures are not."""
+    from hyteg_tpu.core.benchgate import BenchGateError
+
+    for attempt in range(retries + 1):
         try:
-            print(json.dumps(fn()), flush=True)
+            return fn()
+        except BenchGateError:
+            raise
+        except Exception as e:
+            msg = str(e)
+            if attempt < retries and any(t in msg for t in _TRANSIENT):
+                continue
+            raise
+
+
+def main():
+    # order: headline first, then the north-star V-cycle wall times, then
+    # the remaining apply lines — a truncated run still carries the
+    # metrics that matter most (each line ~2-4 min of remote compiles)
+    print(json.dumps(bench_box()), flush=True)
+    for fn in (bench_box_vcycle, bench_tet_vcycle, bench_tet,
+               bench_box_bf16, bench_shell):
+        try:
+            print(json.dumps(_run_line(fn)), flush=True)
         except Exception as e:  # secondary lines must not kill the headline
             print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
                   flush=True)
